@@ -1,0 +1,131 @@
+"""Online adaptation: fine-tune the denoiser against the measurement itself.
+
+The reference interleaves Adam steps on
+``MSE(A(mosaic(denoise(x))), y)`` with the ADMM iterations, gated by
+``k > initial_iter and k % interval_iter == 0`` and an update-count cap
+(``/root/reference/dvp_linear_inv_2_stage_ADMM_tensor_online.py:200-203,
+247-251``). PyTorch needs ``.train()/.eval()`` bookkeeping and a fresh Adam
+object per trigger; here adaptation is a pure function — ``jax.grad`` through
+denoiser + re-mosaic + forward model, an optax update carried through the
+solver scan — so projection, denoise, and adapt fuse into one XLA program.
+
+Because the schedule depends only on static config, the per-iteration fire
+mask is precomputed host-side (:func:`make_schedule`), which exactly encodes
+the reference's mutable ``update_i`` counter semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+
+from adaptivepnp_sci_tpu.ops import bayer, physics
+
+if TYPE_CHECKING:  # avoid a circular import; Prior is duck-typed at runtime
+    from adaptivepnp_sci_tpu.solvers.priors import Prior
+
+
+@dataclass(frozen=True)
+class AdaptConfig:
+    """Online adaptation schedule (per-scene driver tables,
+    ``two_stage_ADMM_Online_FFD_Warm.py:62-151``)."""
+
+    lr: float = 2e-6
+    update_per_iter: int = 2
+    initial_iter: int = 1
+    interval_iter: int = 5
+    update_times: int = -1  # -1 = unlimited
+
+
+def make_schedule(
+    sigma: tuple[float, ...], iters: tuple[int, ...], adapt: AdaptConfig | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten the sigma continuation schedule into per-iteration arrays.
+
+    Returns ``(sigma_per_iter [T], adapt_mask [T])`` where the mask replays
+    the reference's trigger ``k > initial_iter and k % interval_iter == 0``
+    with the ``update_times`` cap.
+    """
+    sigmas = np.concatenate(
+        [np.full(n, s, np.float32) for s, n in zip(sigma, iters)]
+    )
+    total = int(sigmas.shape[0])
+    mask = np.zeros(total, bool)
+    if adapt is not None:
+        fired = 0
+        for k in range(total):
+            if (
+                k > adapt.initial_iter
+                and k % adapt.interval_iter == 0
+                and (adapt.update_times < 0 or fired < adapt.update_times)
+            ):
+                mask[k] = True
+                fired += 1
+    return sigmas, mask
+
+
+def measurement_loss_fn(
+    prior: "Prior",
+    rgb_in: Array,
+    sigma: Array,
+    y_packed: Array,
+    phi_packed: Array,
+    y_full: Array,
+    phi_full: Array,
+) -> Callable[[Any], Array]:
+    """Build the self-supervised loss closure for one adaptation trigger."""
+
+    if prior.loss_mode == "packed4":
+
+        def loss(params):
+            xhat = prior.apply(params, rgb_in, sigma)
+            pred = physics.forward(bayer.rggb_subsample(xhat), phi_packed)
+            return jnp.mean((pred - y_packed) ** 2)
+
+    else:  # 'bayer1'
+
+        def loss(params):
+            xhat = prior.apply(params, rgb_in, sigma)
+            pred = physics.forward(bayer.mosaic(xhat), phi_full)
+            return jnp.mean((pred - y_full) ** 2)
+
+    return loss
+
+
+def make_adapt_fn(
+    prior: "Prior",
+    optimizer: optax.GradientTransformation,
+    update_per_iter: int,
+):
+    """Returns ``adapt(variables, opt_state, key, rgb_in, sigma, y_p, phi_p,
+    y_f, phi_f) -> (variables, opt_state, key)`` performing ``update_per_iter``
+    Adam steps (statically unrolled — it is 1-2 in every reference config).
+
+    Only the ``'params'`` collection receives gradients; ``batch_stats``
+    (BatchNorm running statistics) stay frozen — the reference's BN-freeze
+    during FastDVDnet adaptation (``test_fastdvdnet.py:374-379``).
+    """
+
+    def adapt(variables, opt_state, key, rgb_in, sigma, y_p, phi_p, y_f, phi_f):
+        if prior.adapt_noise_std > 0:
+            key, sub = jax.random.split(key)
+            rgb_in = rgb_in + prior.adapt_noise_std * jax.random.normal(
+                sub, rgb_in.shape, rgb_in.dtype
+            )
+        base_loss = measurement_loss_fn(prior, rgb_in, sigma, y_p, phi_p, y_f, phi_f)
+        frozen = {k: v for k, v in variables.items() if k != "params"}
+        trainable = variables["params"]
+        loss = lambda p: base_loss({"params": p, **frozen})  # noqa: E731
+        for _ in range(update_per_iter):
+            grads = jax.grad(loss)(trainable)
+            updates, opt_state = optimizer.update(grads, opt_state, trainable)
+            trainable = optax.apply_updates(trainable, updates)
+        return {"params": trainable, **frozen}, opt_state, key
+
+    return adapt

@@ -1,0 +1,70 @@
+"""Denoiser-prior plugin interface for the PnP solvers.
+
+A prior is a pure function ``(params, rgb, sigma) -> rgb`` over the whole
+``(B, H, W, 3)`` frame cube plus the metadata the online-adaptation step
+needs. Where the reference loops Python over frames / sliding windows
+(``packages/fastdvdnet/fastdvdnet.py:113-139``), these priors batch the frame
+or window axis so the TPU sees one large conv program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax.numpy as jnp
+from jax import Array
+
+
+class Prior(NamedTuple):
+    """A pluggable deep denoiser prior.
+
+    Attributes:
+      name: identifier ('ffdnet', 'fastdvd', ...).
+      apply: ``(params, rgb (B,H,W,3), sigma scalar) -> (B,H,W,3)``.
+      loss_mode: measurement-consistency loss domain for online adaptation —
+        'packed4' (FFDNet: 4-channel packed planes,
+        ``packages/ffdnet/test_ffdnet_ipol.py:275-291``) or 'bayer1'
+        (FastDVDnet: full-res 1-channel mosaic,
+        ``packages/fastdvdnet/test_fastdvdnet.py:428-431``).
+      adapt_noise_std: gaussian noise added to the adaptation input (FastDVDnet
+        uses 5/255, ``test_fastdvdnet.py:359``; FFDNet 0).
+    """
+
+    name: str
+    apply: Callable[[Any, Array, Array], Array]
+    loss_mode: str = "packed4"
+    adapt_noise_std: float = 0.0
+
+
+def ffdnet_prior(model) -> Prior:
+    """FFDNet image prior: B frames denoised as one batch.
+
+    Replaces the reference's per-frame loop
+    (``packages/ffdnet/test_ffdnet_ipol.py:263-272,303-315``).
+    """
+
+    def apply(params, rgb: Array, sigma: Array) -> Array:
+        return model.apply(params, rgb, sigma)
+
+    return Prior("ffdnet", apply, loss_mode="packed4", adapt_noise_std=0.0)
+
+
+def window_indices(n_frames: int, window: int = 5) -> Array:
+    """Circular sliding-window gather indices ``(B, window)``.
+
+    Window for frame f is ``(f - hw .. f + hw) mod B`` — the reference's
+    ``(range(f, f+W) - hw) % N`` (``packages/fastdvdnet/fastdvdnet.py:115``).
+    """
+    hw = (window - 1) // 2
+    return (jnp.arange(n_frames)[:, None] + jnp.arange(window)[None, :] - hw) % n_frames
+
+
+def fastdvd_prior(model, window: int = 5) -> Prior:
+    """FastDVDnet temporal prior: all B circular 5-frame windows in one batch."""
+
+    def apply(params, rgb: Array, sigma: Array) -> Array:
+        idx = window_indices(rgb.shape[0], window)
+        windows = rgb[idx]  # (B, window, H, W, 3)
+        return model.apply(params, windows, sigma)
+
+    return Prior("fastdvd", apply, loss_mode="bayer1", adapt_noise_std=5.0 / 255.0)

@@ -1,0 +1,273 @@
+"""Two-stage online-adaptive plug-and-play ADMM — the main reconstruction
+algorithm (semantics of ``twoStageAdmm_denoise_bayer``,
+``/root/reference/dvp_linear_inv_2_stage_ADMM_tensor_online.py:40-324``).
+
+Stage 1 works on packed Bayer planes (dual ``b``): diagonalized x-update,
+demosaic to RGB. Stage 2 works on the RGB cube (dual ``w``, penalty ``tau``):
+deep joint denoise, re-mosaic into the theta-update. Online adaptation of the
+denoiser fires on a precomputed mask inside the iteration.
+
+TPU-native structure:
+  * the full sigma-continuation schedule is flattened into ONE jitted
+    ``lax.scan`` (per-iteration sigma and adapt flags are scan inputs), so
+    projection, demosaic, denoise, adaptation grad-steps and the PSNR trace
+    compile into a single XLA program per (config, shapes);
+  * frames are a batch axis everywhere (no per-frame Python loops);
+  * adaptation is ``jax.grad`` + optax inside ``lax.cond`` — both branches
+    shape-stable, Adam state lives in the scan carry;
+  * solver state stays fp32 (bf16 accumulation error compounds over the
+    20-40 iteration chain); the denoiser may run bf16 internally.
+
+The solver returns refined denoiser variables so drivers can carry adapted
+weights across measurements (``two_stage_ADMM_Online_FFD_Warm.py:270-275``).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import Array
+
+from adaptivepnp_sci_tpu.adapt.online import AdaptConfig, make_adapt_fn, make_schedule
+from adaptivepnp_sci_tpu.ops import bayer, demosaic, metrics, physics, tv
+from adaptivepnp_sci_tpu.solvers.priors import Prior
+
+
+@dataclass(frozen=True)
+class ADMMConfig:
+    """Static solver configuration (hashable: keys the jit cache)."""
+
+    sigma: tuple[float, ...]
+    iters: tuple[int, ...]
+    denoiser: str = "ffdnet"          # 'tv' | 'ffdnet' | 'fastdvd'
+    demosaic_method: str = "malvar"   # 'malvar' | 'bilinear' | 'ddnet'
+    closed_form_demosaic: bool = False
+    lam: float = 1.0
+    gamma: float = 0.01
+    tv_weight: float = 0.1
+    tv_iters: int = 5
+    adapt: AdaptConfig | None = None
+
+    @property
+    def rho(self) -> float:
+        # reference: 0.55 for fastdvd / closed-form, else 1 (dvp…online.py:106-115)
+        if self.closed_form_demosaic or self.denoiser == "fastdvd":
+            return 0.55
+        return 1.0
+
+    @property
+    def alpha(self) -> float:
+        return 0.01 if self.denoiser == "tv" else 1.0
+
+    @property
+    def tau(self) -> float:
+        return 10.0 if self.closed_form_demosaic else 100.0
+
+
+class ADMMResult(NamedTuple):
+    x_rgb: Array            # (B, H, W, 3) final denoised RGB cube
+    x_bayer: Array          # (B, H, W) final Bayer estimate (from theta)
+    psnr_per_frame: Array   # (B,)
+    ssim_per_frame: Array   # (B,)
+    psnr_trace: Array       # (T,) per-iteration PSNR (zeros without orig)
+    variables: Any          # possibly-adapted denoiser variables
+    opt_state: Any
+
+
+@functools.lru_cache(maxsize=32)
+def _build_runner(
+    config: ADMMConfig,
+    prior: Prior | None,
+    demosaic_fn: Callable | None,
+    optimizer: optax.GradientTransformation | None,
+    compute_trace: bool,
+):
+    """Build (and cache) the jitted whole-schedule scan for a configuration."""
+    sigmas_np, adapt_mask_np = make_schedule(config.sigma, config.iters, config.adapt)
+    total_iters = int(sigmas_np.shape[0])
+    rho, alpha, tau = config.rho, config.alpha, config.tau
+
+    do_adapt = config.adapt is not None and prior is not None
+    adapt_step = (
+        make_adapt_fn(prior, optimizer, config.adapt.update_per_iter)
+        if do_adapt
+        else None
+    )
+
+    def run(y_full, phi_full, x0, orig, variables, opt_state, key):
+        y_p = bayer.pack(y_full)      # (4, H2, W2)
+        phi_p = bayer.pack(phi_full)  # (B, 4, H2, W2)
+        phi_s = physics.phi_sum(phi_p)
+        n_frames, h, w = phi_full.shape
+
+        cfa = jnp.asarray(bayer.cfa_masks((h, w)), jnp.float32)
+
+        if demosaic_fn is not None:
+            dm = demosaic_fn
+        elif config.demosaic_method == "bilinear":
+            dm = lambda m: demosaic.bilinear(m)  # noqa: E731
+        else:
+            dm = lambda m: demosaic.malvar2004(m)  # noqa: E731
+
+        def trace_psnr(theta):
+            if not compute_trace:
+                return jnp.float32(0)
+            return metrics.psnr(orig, bayer.unpack(theta))
+
+        if config.denoiser == "tv":
+
+            def step(carry, inp):
+                x, theta, b = carry
+                _sigma, _flag, _k = inp
+                x = physics.admm_x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
+                xb = x + b / rho
+                theta = tv.tv_chambolle_multichannel(
+                    xb, weight=config.tv_weight, max_iter=config.tv_iters
+                )
+                theta = jnp.clip(theta, 0.0, 1.0)
+                b = b + (x - theta)
+                return (x, theta, b), trace_psnr(theta)
+
+            init = (x0, x0, jnp.zeros_like(x0))
+            xs = (
+                jnp.asarray(sigmas_np),
+                jnp.asarray(adapt_mask_np),
+                jnp.arange(total_iters),
+            )
+            (x, theta, b), trace = jax.lax.scan(step, init, xs)
+            zero_rgb = jnp.zeros((n_frames, h, w, 3), jnp.float32)
+            return theta, zero_rgb, trace, variables, opt_state
+
+        def step(carry, inp):
+            x, theta, b, w_dual, xhat, variables, opt_state, key = carry
+            sigma, adapt_flag, k = inp
+
+            x = physics.admm_x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
+            xb_full = bayer.unpack(x + b / rho)  # (B, H, W)
+
+            if config.closed_form_demosaic:
+                def closed_form(_):
+                    num = (
+                        rho * bayer.embed_rgb(bayer.unpack(x))
+                        + bayer.embed_rgb(bayer.unpack(b))
+                        + tau * xhat
+                        + w_dual
+                    )
+                    out = num / (rho * cfa + tau)
+                    if config.denoiser == "ffdnet":
+                        out = jnp.clip(out, 0.0, 1.0)
+                    return out
+
+                x_rgb = jax.lax.cond(k > 0, closed_form, lambda _: dm(xb_full), None)
+            else:
+                x_rgb = dm(xb_full)
+
+            x_rgb_w = x_rgb - w_dual / tau
+
+            if do_adapt:
+                def fire(args):
+                    v, o, kk = args
+                    return adapt_step(
+                        v, o, kk, x_rgb_w, sigma, y_p, phi_p, y_full, phi_full
+                    )
+
+                variables, opt_state, key = jax.lax.cond(
+                    adapt_flag, fire, lambda args: args, (variables, opt_state, key)
+                )
+
+            xhat = prior.apply(variables, x_rgb_w, sigma)
+
+            theta = jnp.clip(bayer.rggb_subsample(xhat), 0.0, 1.0)
+            b = b + (x - theta)
+            w_dual = w_dual + (x_rgb - xhat)
+
+            carry = (x, theta, b, w_dual, xhat, variables, opt_state, key)
+            return carry, trace_psnr(theta)
+
+        init = (
+            x0,
+            x0,
+            jnp.zeros_like(x0),
+            jnp.zeros((n_frames, h, w, 3), jnp.float32),
+            jnp.zeros((n_frames, h, w, 3), jnp.float32),
+            variables,
+            opt_state,
+            key,
+        )
+        xs = (
+            jnp.asarray(sigmas_np),
+            jnp.asarray(adapt_mask_np),
+            jnp.arange(total_iters),
+        )
+        (x, theta, b, w_dual, xhat, variables, opt_state, key), trace = jax.lax.scan(
+            step, init, xs
+        )
+        return theta, xhat, trace, variables, opt_state
+
+    return jax.jit(run)
+
+
+def two_stage_admm(
+    y_bayer: Array,
+    phi_bayer: Array,
+    config: ADMMConfig,
+    prior: Prior | None = None,
+    variables: Any = None,
+    x0_bayer: Array | None = None,
+    orig_bayer: Array | None = None,
+    demosaic_fn: Callable | None = None,
+    optimizer: optax.GradientTransformation | None = None,
+    opt_state: Any = None,
+    key: Array | None = None,
+) -> ADMMResult:
+    """Reconstruct one measurement.
+
+    Args:
+      y_bayer:    snapshot ``(H, W)``.
+      phi_bayer:  masks ``(B, H, W)``.
+      config:     solver schedule/penalties (static).
+      prior:      deep denoiser plugin (None for 'tv').
+      variables:  denoiser Flax variables (carried across measurements).
+      x0_bayer:   warm start ``(B, H, W)`` (e.g. GAP-TV output).
+      orig_bayer: optional ground truth for metrics.
+      demosaic_fn: optional deep demosaicker ``(B,H,W)->(B,H,W,3)`` (DDnet).
+      optimizer/opt_state: optax transform for online adaptation.
+      key:        PRNG key for adaptation input noise.
+    """
+    y = jnp.asarray(y_bayer, jnp.float32)
+    phi = jnp.asarray(phi_bayer, jnp.float32)
+
+    if x0_bayer is None:
+        x0 = physics.adjoint(bayer.pack(y), bayer.pack(phi))
+    else:
+        x0 = bayer.pack(jnp.asarray(x0_bayer, jnp.float32))
+
+    if config.adapt is not None and prior is not None:
+        if optimizer is None:
+            optimizer = optax.adam(config.adapt.lr)
+        if opt_state is None:
+            opt_state = optimizer.init(variables["params"])
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    orig = jnp.asarray(orig_bayer) if orig_bayer is not None else None
+    runner = _build_runner(
+        config, prior, demosaic_fn, optimizer, orig_bayer is not None
+    )
+    theta, xhat, trace, variables, opt_state = runner(
+        y, phi, x0, orig, variables, opt_state, key
+    )
+
+    x_bayer = bayer.unpack(theta)
+    if orig is not None:
+        p = metrics.psnr_per_frame(orig, x_bayer)
+        s = metrics.ssim_per_frame(orig, x_bayer)
+    else:
+        p = s = jnp.zeros((x_bayer.shape[0],), jnp.float32)
+    return ADMMResult(xhat, x_bayer, p, s, trace, variables, opt_state)

@@ -1,0 +1,142 @@
+"""End-to-end solver tests on synthetic CACTI scenes (CPU, small shapes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptivepnp_sci_tpu.adapt.online import AdaptConfig, make_schedule
+from adaptivepnp_sci_tpu.data.synthetic import make_scene
+from adaptivepnp_sci_tpu.ops import metrics, physics, bayer
+from adaptivepnp_sci_tpu.solvers import ADMMConfig, GapTVConfig, gap_tv, two_stage_admm
+from adaptivepnp_sci_tpu.solvers.priors import Prior, ffdnet_prior
+from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(b=4, h=32, w=32, seed=7)
+
+
+def test_gap_tv_improves_over_adjoint(scene):
+    res = gap_tv(
+        scene.meas, scene.mask, GapTVConfig(iters=20), orig_bayer=scene.orig_bayer
+    )
+    # baseline: normalized adjoint
+    phi_p = bayer.pack(jnp.asarray(scene.mask))
+    y_p = bayer.pack(jnp.asarray(scene.meas))
+    x_adj = bayer.unpack(physics.adjoint(y_p / physics.phi_sum(phi_p), phi_p))
+    psnr_adj = float(metrics.psnr(jnp.asarray(scene.orig_bayer), x_adj))
+    psnr_tv = float(res.psnr_per_frame.mean())
+    assert psnr_tv > psnr_adj + 3.0, (psnr_tv, psnr_adj)
+    assert psnr_tv > 20.0
+
+
+def test_gap_tv_trace_monotone_tail(scene):
+    res = gap_tv(
+        scene.meas, scene.mask, GapTVConfig(iters=30), orig_bayer=scene.orig_bayer
+    )
+    trace = np.asarray(res.psnr_trace)
+    assert trace.shape == (30,)
+    assert trace[-1] >= trace[4]  # converging, not diverging
+
+
+def test_make_schedule_replays_reference_counter():
+    sig, mask = make_schedule(
+        (0.1, 0.05), (6, 4), AdaptConfig(interval_iter=3, initial_iter=1, update_times=2)
+    )
+    assert sig.shape == (10,)
+    np.testing.assert_allclose(sig[:6], 0.1)
+    np.testing.assert_allclose(sig[6:], 0.05)
+    # fires at k=3, 6 (cap 2); k=9 capped away
+    assert list(np.nonzero(mask)[0]) == [3, 6]
+
+
+def test_two_stage_admm_tv_denoiser(scene):
+    config = ADMMConfig(sigma=(0.0,), iters=(10,), denoiser="tv")
+    res = two_stage_admm(
+        scene.meas, scene.mask, config, orig_bayer=scene.orig_bayer
+    )
+    assert float(res.psnr_per_frame.mean()) > 18.0
+    assert res.x_bayer.shape == scene.orig_bayer.shape
+
+
+@pytest.fixture(scope="module")
+def tiny_ffdnet():
+    model = FFDNet(in_nc=3, out_nc=3, nc=16, nb=4)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.float32(0.1)
+    )
+    return model, variables
+
+
+def test_two_stage_admm_ffdnet_runs(scene, tiny_ffdnet):
+    model, variables = tiny_ffdnet
+    prior = ffdnet_prior(model)
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=10))
+    config = ADMMConfig(sigma=(25 / 255, 12 / 255), iters=(3, 2), denoiser="ffdnet")
+    res = two_stage_admm(
+        scene.meas, scene.mask, config, prior=prior, variables=variables,
+        x0_bayer=warm.x_bayer, orig_bayer=scene.orig_bayer,
+    )
+    assert res.x_rgb.shape == scene.orig_rgb.shape
+    assert np.isfinite(np.asarray(res.psnr_trace)).all()
+
+
+def test_two_stage_admm_online_adaptation_updates_params(scene, tiny_ffdnet):
+    model, variables = tiny_ffdnet
+    prior = ffdnet_prior(model)
+    config = ADMMConfig(
+        sigma=(25 / 255,), iters=(6,), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=1e-4, update_per_iter=1, interval_iter=2, initial_iter=1),
+    )
+    res = two_stage_admm(
+        scene.meas, scene.mask, config, prior=prior, variables=variables,
+        orig_bayer=scene.orig_bayer,
+    )
+    before = jax.tree_util.tree_leaves(variables["params"])
+    after = jax.tree_util.tree_leaves(res.variables["params"])
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
+    )
+    assert changed, "online adaptation must modify denoiser params"
+
+
+def test_two_stage_admm_adaptation_reduces_measurement_loss(scene, tiny_ffdnet):
+    """Adaptation optimizes MSE(A(mosaic(denoise(x))), y): verify descent."""
+    model, variables = tiny_ffdnet
+    prior = ffdnet_prior(model)
+    y_p = bayer.pack(jnp.asarray(scene.meas))
+    phi_p = bayer.pack(jnp.asarray(scene.mask))
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=10))
+    from adaptivepnp_sci_tpu.ops.demosaic import malvar2004
+
+    rgb_in = malvar2004(jnp.asarray(warm.x_bayer))
+
+    def meas_loss(v):
+        xhat = prior.apply(v, rgb_in, jnp.float32(25 / 255))
+        pred = physics.forward(bayer.rggb_subsample(xhat), phi_p)
+        return float(jnp.mean((pred - y_p) ** 2))
+
+    config = ADMMConfig(
+        sigma=(25 / 255,), iters=(8,), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=1e-3, update_per_iter=2, interval_iter=2, initial_iter=0),
+    )
+    res = two_stage_admm(
+        scene.meas, scene.mask, config, prior=prior, variables=variables,
+        x0_bayer=warm.x_bayer,
+    )
+    assert meas_loss(res.variables) < meas_loss(variables)
+
+
+def test_two_stage_admm_closed_form_demosaic(scene, tiny_ffdnet):
+    model, variables = tiny_ffdnet
+    prior = ffdnet_prior(model)
+    config = ADMMConfig(
+        sigma=(25 / 255,), iters=(4,), denoiser="ffdnet", closed_form_demosaic=True
+    )
+    res = two_stage_admm(
+        scene.meas, scene.mask, config, prior=prior, variables=variables,
+        orig_bayer=scene.orig_bayer,
+    )
+    assert np.isfinite(np.asarray(res.x_rgb)).all()
