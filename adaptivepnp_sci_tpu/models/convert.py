@@ -64,7 +64,135 @@ def load_ffdnet(path: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Generic nested converter (FastDVDnet / DDnet): torch module paths map to
+# FastDVDnet: map the reference's Sequential indices to named Flax scopes.
+#
+# Torch layout (packages/fastdvdnet/models.py):
+#   {temp1,temp2}.inc.convblock.{0 conv,1 bn,3 conv,4 bn}
+#   {..}.downc{0,1}.convblock.{0 conv,1 bn,3 CvBlock(.convblock.{0,1,3,4})}
+#   {..}.upc{2,1}.convblock.{0 CvBlock(...),1 conv}
+#   {..}.outc.convblock.{0 conv,1 bn,3 conv}
+# ---------------------------------------------------------------------------
+
+_CVBLOCK_MAP = {"0": "conv0", "1": "bn0", "3": "conv1", "4": "bn1"}
+
+
+def _fdvd_flax_path(parts: list[str]) -> list[str] | None:
+    """Map one torch parameter path (without leaf) to the Flax module path."""
+    temp, block, seq = parts[0], parts[1], parts[2]
+    rest = parts[3:]
+    assert seq == "convblock", parts
+    idx = rest[0]
+    if block == "inc" or block == "outc":
+        return [temp, block, _CVBLOCK_MAP[idx]]
+    if block.startswith("downc"):
+        if idx in ("0", "1"):
+            return [temp, block, _CVBLOCK_MAP[idx]]
+        # idx == '3': nested CvBlock
+        return [temp, block, "cvblock", _CVBLOCK_MAP[rest[2]]]
+    if block.startswith("upc"):
+        if idx == "0":  # nested CvBlock
+            return [temp, block, "cvblock", _CVBLOCK_MAP[rest[2]]]
+        return [temp, block, "conv0"]  # idx == '1': the upsample conv
+    raise KeyError(".".join(parts))
+
+
+def fastdvdnet_variables(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Reference FastDVDnet state dict -> Flax variables for
+    :class:`adaptivepnp_sci_tpu.models.fastdvdnet.FastDVDnet`."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf, value):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        path = _fdvd_flax_path(parts[:-1])
+        is_bn = path[-1].startswith("bn")
+        if leaf == "running_mean":
+            put(stats, path, "mean", val)
+        elif leaf == "running_var":
+            put(stats, path, "var", val)
+        elif leaf == "weight":
+            if is_bn:
+                put(params, path, "scale", val)
+            else:
+                put(params, path, "kernel", conv_kernel(val))
+        elif leaf == "bias":
+            put(params, path, "bias", val)
+    return {"params": params, "batch_stats": stats}
+
+
+def load_fastdvdnet(path: str) -> dict:
+    return fastdvdnet_variables(load_torch_state_dict(path))
+
+
+# ---------------------------------------------------------------------------
+# DDnet: no-BN variant of the same Sequential layout
+# (models/network_demosaicking.py). The unused noise-map 'inc' blocks are
+# dropped; 'inc_1' is the active input block. All convs are bias-free.
+# ---------------------------------------------------------------------------
+
+_NOBNBLOCK_MAP = {"0": "conv0", "2": "conv1"}
+
+
+def _ddnet_flax_path(parts: list[str]) -> list[str] | None:
+    if parts[0].startswith("weight_tensor"):
+        return []  # top-level param
+    temp, block = parts[0], parts[1]
+    if block == "inc":
+        return None  # unused noise-map input block
+    rest = parts[3:]  # skip 'convblock'
+    idx = rest[0]
+    if block in ("inc_1", "outc", "fusion"):
+        return [temp, block, _NOBNBLOCK_MAP[idx]]
+    if block.startswith("downc"):
+        if idx == "0":
+            return [temp, block, "conv0"]
+        return [temp, block, "cvblock", _NOBNBLOCK_MAP[rest[2]]]  # idx == '2'
+    if block.startswith("upc"):
+        if idx == "0":
+            return [temp, block, "cvblock", _NOBNBLOCK_MAP[rest[2]]]
+        return [temp, block, "conv0"]  # idx == '1'
+    raise KeyError(".".join(parts))
+
+
+def ddnet_variables(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Reference DDnet state dict -> Flax variables for
+    :class:`adaptivepnp_sci_tpu.models.ddnet.DDnet`."""
+    params: dict = {}
+
+    def put(tree, path, leaf, value):
+        node = tree
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        if parts[0].startswith("weight_tensor"):
+            params[parts[0]] = val
+            continue
+        path = _ddnet_flax_path(parts[:-1])
+        if path is None:
+            continue
+        assert parts[-1] == "weight", key  # all convs bias-free
+        put(params, path, "kernel", conv_kernel(val))
+    return {"params": params}
+
+
+def load_ddnet(path: str) -> dict:
+    return ddnet_variables(load_torch_state_dict(path))
+
+
+# ---------------------------------------------------------------------------
+# Generic nested converter (DDnet and friends): torch module paths map to
 # identically-named Flax module scopes; conv weights transpose, BN splits.
 # ---------------------------------------------------------------------------
 

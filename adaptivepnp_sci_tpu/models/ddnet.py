@@ -1,0 +1,176 @@
+"""DDnet joint demosaicking + denoising network in Flax (NHWC).
+
+Architecture parity with the reference's rich dual-branch variant — the one
+the main drivers load (``/root/reference/models/network_demosaicking.py:
+33-124,184-463``, base width 20, no BatchNorm):
+
+  * input: five sparse-RGB Bayer frames (circular window);
+  * branch 1: frames summed to 1-channel mosaics -> ``temp1`` DenBlock
+    triplets (residual ADD from center frame, broadcast 1->3 channels);
+  * branch 2: mosaics packed to 4-channel half-res RGGB -> ``temp11``
+    DenBlock4ChBayer triplets (residual, bilinear align-corners 2x upsample,
+    4->3 fusion);
+  * both branches fused by a shared ``temp2`` DenBlock and learned per-branch
+    channel weights ``weight_tensor_{in,in2,out}``.
+
+The reference's unused ``inc`` (noise-map) sub-blocks are not instantiated;
+the converter drops their checkpoint entries.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+from adaptivepnp_sci_tpu.models.common import (
+    depth_to_space,
+    upsample_bilinear_align_corners,
+)
+from adaptivepnp_sci_tpu.ops import bayer
+
+BASE_LAYER = 20
+
+
+def _conv(x: Array, features: int, name: str, groups: int = 1,
+          strides: tuple[int, int] = (1, 1)) -> Array:
+    return nn.Conv(
+        features, (3, 3), strides=strides, padding=((1, 1), (1, 1)),
+        use_bias=False, feature_group_count=groups, name=name,
+    )(x)
+
+
+class CvBlock(nn.Module):
+    """(Conv => ReLU) x 2, no norm."""
+
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.relu(_conv(x, self.out_ch, "conv0"))
+        return nn.relu(_conv(x, self.out_ch, "conv1"))
+
+
+class InputCvBlock2(nn.Module):
+    """Grouped per-frame conv => ReLU => fusion conv => ReLU (no noise map)."""
+
+    num_in_frames: int
+    out_ch: int
+    interm_ch: int = 30
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = _conv(x, self.num_in_frames * self.interm_ch, "conv0",
+                  groups=self.num_in_frames)
+        x = nn.relu(x)
+        return nn.relu(_conv(x, self.out_ch, "conv1"))
+
+
+class DownBlock(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.relu(_conv(x, self.out_ch, "conv0", strides=(2, 2)))
+        return CvBlock(self.out_ch, name="cvblock")(x)
+
+
+class UpBlock(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = CvBlock(x.shape[-1], name="cvblock")(x)
+        x = _conv(x, self.out_ch * 4, "conv0")
+        return depth_to_space(x, 2)
+
+
+class OutputCvBlock(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.relu(_conv(x, x.shape[-1], "conv0"))
+        return _conv(x, self.out_ch, "conv1")
+
+
+class DenBlock(nn.Module):
+    """U-Net block, residual ADD from center frame (demosaicking variant)."""
+
+    num_in_frames: int = 3
+    out_ch: int = 3
+    chs: tuple[int, int, int] = (BASE_LAYER, BASE_LAYER * 2, BASE_LAYER * 4)
+
+    @nn.compact
+    def __call__(self, in0: Array, in1: Array, in2: Array) -> Array:
+        x = jnp.concatenate([in0, in1, in2], axis=-1)
+        x0 = InputCvBlock2(self.num_in_frames, self.chs[0], name="inc_1")(x)
+        x1 = DownBlock(self.chs[1], name="downc0")(x0)
+        x2 = DownBlock(self.chs[2], name="downc1")(x1)
+        x2 = UpBlock(self.chs[1], name="upc2")(x2)
+        x1 = UpBlock(self.chs[0], name="upc1")(x1 + x2)
+        x = OutputCvBlock(self.out_ch, name="outc")(x0 + x1)
+        return in1 + x  # broadcasts 1-channel center over 3-channel estimate
+
+
+class DenBlock4ChBayer(nn.Module):
+    """Half-res 4-channel RGGB branch: residual + bilinear 2x + 4->3 fusion."""
+
+    chs: tuple[int, int, int] = (BASE_LAYER, BASE_LAYER * 2, BASE_LAYER * 4)
+
+    @nn.compact
+    def __call__(self, in0: Array, in1: Array, in2: Array) -> Array:
+        x = jnp.concatenate([in0, in1, in2], axis=-1)
+        x0 = InputCvBlock2(3, self.chs[0], name="inc_1")(x)
+        x1 = DownBlock(self.chs[1], name="downc0")(x0)
+        x2 = DownBlock(self.chs[2], name="downc1")(x1)
+        x2 = UpBlock(self.chs[1], name="upc2")(x2)
+        x1 = UpBlock(self.chs[0], name="upc1")(x1 + x2)
+        x = OutputCvBlock(4, name="outc")(x0 + x1)
+        x = in1 + x
+        x = upsample_bilinear_align_corners(x, 2)
+        return OutputCvBlock(3, name="fusion")(x)
+
+
+class DDnet(nn.Module):
+    """Joint demosaick+denoise of the center frame of a 5-frame window.
+
+    Input ``(N, 5, H, W, 3)``: sparse-RGB-embedded Bayer frames (values in
+    their CFA channel, zeros elsewhere). Output ``(N, H, W, 3)``.
+    """
+
+    num_input_frames: int = 5
+
+    @nn.compact
+    def __call__(self, windows: Array) -> Array:
+        n, nf, h, w, _ = windows.shape
+        assert nf == self.num_input_frames, windows.shape
+
+        a = self.param("weight_tensor_in", nn.initializers.ones, (9, 1, 1, 1, 1))
+        a2 = self.param("weight_tensor_in2", nn.initializers.ones, (9, 1, 4, 1, 1))
+        a3 = self.param("weight_tensor_out", nn.initializers.ones, (2, 1, 3, 1, 1))
+        # torch stores NCHW-broadcast shapes; NHWC wants channels last
+        a2_n = jnp.moveaxis(a2, 2, -1)  # (9, 1, 1, 1, 4)
+        a3_n = jnp.moveaxis(a3, 2, -1)  # (2, 1, 1, 1, 3)
+
+        mosaics = windows.sum(-1)                      # (N, 5, H, W)
+        ones = [mosaics[:, i][..., None] for i in range(nf)]     # (N, H, W, 1)
+        fours = [
+            jnp.moveaxis(bayer.pack(mosaics[:, i]), 1, -1)       # (N, H/2, W/2, 4)
+            for i in range(nf)
+        ]
+
+        temp1 = DenBlock(out_ch=3, name="temp1")
+        x20 = temp1(ones[0] * a[0, 0, 0], ones[1] * a[1, 0, 0], ones[2] * a[2, 0, 0])
+        x21 = temp1(ones[1] * a[3, 0, 0], ones[2] * a[4, 0, 0], ones[3] * a[5, 0, 0])
+        x22 = temp1(ones[2] * a[6, 0, 0], ones[3] * a[7, 0, 0], ones[4] * a[8, 0, 0])
+
+        temp11 = DenBlock4ChBayer(name="temp11")
+        y20 = temp11(fours[0] * a2_n[0], fours[1] * a2_n[1], fours[2] * a2_n[2])
+        y21 = temp11(fours[1] * a2_n[3], fours[2] * a2_n[4], fours[3] * a2_n[5])
+        y22 = temp11(fours[2] * a2_n[6], fours[3] * a2_n[7], fours[4] * a2_n[8])
+
+        temp2 = DenBlock(out_ch=3, name="temp2")
+        out1 = temp2(x20, x21, x22)
+        out2 = temp2(y20, y21, y22)
+        return a3_n[0] * out1 + a3_n[1] * out2

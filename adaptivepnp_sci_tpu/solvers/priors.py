@@ -59,6 +59,30 @@ def window_indices(n_frames: int, window: int = 5) -> Array:
     return (jnp.arange(n_frames)[:, None] + jnp.arange(window)[None, :] - hw) % n_frames
 
 
+def ddnet_demosaic(model, variables, window: int = 5):
+    """Deep joint demosaicker callback for the solver: ``(B, H, W) -> (B, H, W, 3)``.
+
+    Embeds each Bayer frame as sparse RGB, gathers circular 5-frame windows,
+    and runs DDnet batched over all windows — the semantics of ``test_ddnet``
+    / ``ddnet_seqdenoise`` (``/root/reference/packages/DDnet/DDnet_test.py:
+    166-204,218-321``) without the per-frame Python loop. Spatial dims are
+    reflect-padded to multiples of 4 for the two U-Net downsamplings.
+    """
+    from adaptivepnp_sci_tpu.ops.bayer import embed_rgb
+
+    def apply(mosaic_frames: Array) -> Array:
+        b, h, w = mosaic_frames.shape
+        hp, wp = (-h) % 4, (-w) % 4
+        rgb = embed_rgb(mosaic_frames)  # (B, H, W, 3)
+        if hp or wp:
+            rgb = jnp.pad(rgb, ((0, 0), (0, hp), (0, wp), (0, 0)), mode="reflect")
+        idx = window_indices(b, window)
+        out = model.apply(variables, rgb[idx])
+        return out[:, :h, :w]
+
+    return apply
+
+
 def fastdvd_prior(model, window: int = 5) -> Prior:
     """FastDVDnet temporal prior: all B circular 5-frame windows in one batch."""
 
