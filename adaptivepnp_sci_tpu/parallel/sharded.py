@@ -1,0 +1,70 @@
+"""Sharded priors and data-parallel training steps over a ('data','frame') mesh."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from adaptivepnp_sci_tpu.parallel.halo import halo_windows
+from adaptivepnp_sci_tpu.solvers.priors import Prior
+
+
+def fastdvd_prior_sharded(model, mesh: Mesh, window: int = 5) -> Prior:
+    """FastDVDnet prior with the frame axis sharded over the mesh.
+
+    Windows are assembled with ring halo exchange (2 ``ppermute`` per call);
+    params replicate. Drop-in for :func:`priors.fastdvd_prior` in the solver.
+    """
+
+    def apply(params, rgb: Array, sigma: Array) -> Array:
+        def shard_fn(params, rgb_local, sigma):
+            wins = halo_windows(rgb_local, "frame", window)
+            return model.apply(params, wins, sigma)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P("frame"), P()),
+            out_specs=P("frame"),
+            check_vma=False,
+        )(params, rgb, sigma)
+
+    return Prior("fastdvd", apply, loss_mode="bayer1", adapt_noise_std=5.0 / 255.0)
+
+
+def make_dp_train_step(model, optimizer: optax.GradientTransformation, mesh: Mesh):
+    """Data-parallel denoiser training step: batch shards over ('data','frame'),
+    params replicate, XLA inserts the gradient all-reduce.
+
+    Replaces ``torch.nn.DataParallel`` in the reference trainers
+    (``packages/ffdnet/train.py:66``, ``packages/DDnet/train_DDnet.py:53-58``).
+    """
+    batch_sharding = NamedSharding(mesh, P(("data", "frame")))
+    repl = NamedSharding(mesh, P())
+
+    def loss_fn(params, noisy, clean, sigma):
+        out = model.apply(params, noisy, sigma)
+        # reference loss: MSE / 2 (packages/ffdnet/train.py:154)
+        return jnp.mean((out - clean) ** 2) / 2.0
+
+    @jax.jit
+    def train_step(params, opt_state, noisy, clean, sigma):
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean, sigma)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def place(params, opt_state, noisy, clean, sigma):
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        noisy = jax.device_put(noisy, batch_sharding)
+        clean = jax.device_put(clean, batch_sharding)
+        sigma = jax.device_put(sigma, batch_sharding)
+        return params, opt_state, noisy, clean, sigma
+
+    return train_step, place
