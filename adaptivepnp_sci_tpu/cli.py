@@ -1,0 +1,166 @@
+"""Command-line entry points.
+
+The reference is driven by editing and running three scripts; here the same
+workflows are subcommands:
+
+  python -m adaptivepnp_sci_tpu.cli warmstart  --data scene.mat --out warm.mat
+  python -m adaptivepnp_sci_tpu.cli reconstruct --data scene.mat --warm warm.mat \
+      --denoiser ffdnet --ckpt model_zoo/ffdnet_color.pth --out results.mat
+  python -m adaptivepnp_sci_tpu.cli synth --out scene.mat --size 512 --frames 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _cmd_warmstart(args) -> None:
+    from adaptivepnp_sci_tpu.data.mat_io import load_cacti_mat, save_warm_start
+    from adaptivepnp_sci_tpu.pipelines import run_warm_start
+
+    scene = load_cacti_mat(args.data, name=args.name)
+    out = run_warm_start(scene, iters=args.iters)
+    save_warm_start(args.out, out.x_bayer)
+    print(f"warm start PSNR {out.psnr.mean():.2f} dB -> {args.out}")
+
+
+def _cmd_reconstruct(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adaptivepnp_sci_tpu.data.mat_io import (
+        load_cacti_mat,
+        load_warm_start,
+        save_results,
+    )
+    from adaptivepnp_sci_tpu.pipelines import run_reconstruction
+
+    scene = load_cacti_mat(args.data, name=args.name)
+
+    if args.denoiser == "ffdnet":
+        from adaptivepnp_sci_tpu.models.convert import load_ffdnet
+        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+        from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+        model = ffdnet_color()
+        variables = (
+            load_ffdnet(args.ckpt)
+            if args.ckpt
+            else model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                            jnp.float32(0.1))
+        )
+        prior = ffdnet_prior(model)
+    else:
+        from adaptivepnp_sci_tpu.models.convert import load_fastdvdnet
+        from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+        from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+
+        model = FastDVDnet()
+        variables = (
+            load_fastdvdnet(args.ckpt)
+            if args.ckpt
+            else model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 5, 64, 64, 3)), jnp.float32(0.1))
+        )
+        prior = fastdvd_prior(model)
+
+    demosaic_fn = None
+    if args.deep_demosaicking:
+        from adaptivepnp_sci_tpu.models.convert import load_ddnet
+        from adaptivepnp_sci_tpu.models.ddnet import DDnet
+        from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
+
+        dd = DDnet()
+        dd_vars = (
+            load_ddnet(args.ddnet_ckpt)
+            if args.ddnet_ckpt
+            else dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 64, 64, 3)))
+        )
+        demosaic_fn = ddnet_demosaic(dd, dd_vars)
+
+    warm = (
+        load_warm_start(args.warm, scene.n_frames) if args.warm else None
+    )
+    out = run_reconstruction(
+        scene, prior, variables,
+        denoiser=args.denoiser,
+        deep_demosaicking=args.deep_demosaicking,
+        update=not args.no_update,
+        reuse_model=not args.no_reuse_model,
+        warm_start=warm,
+    )
+    if args.out:
+        save_results(
+            args.out, out.x_bayer, out.x_rgb, out.psnr, out.ssim,
+            out.psnr_all_iter,
+        )
+    print(
+        f"{args.name or args.data}: PSNR {out.psnr.mean():.2f} dB, "
+        f"SSIM {out.ssim.mean():.4f}, "
+        f"{np.mean(out.seconds_per_meas):.2f}s/measurement"
+    )
+
+
+def _cmd_synth(args) -> None:
+    from adaptivepnp_sci_tpu.data.mat_io import save_results  # noqa: F401
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+    import scipy.io as sio
+
+    s = make_scene(b=args.frames, h=args.size, w=args.size, seed=args.seed,
+                   n_meas=args.n_meas)
+    meas = s.meas if s.meas.ndim == 3 else s.meas[..., None]
+    orig = s.orig_bayer if s.orig_bayer.ndim == 4 else s.orig_bayer[None]
+    t, b, h, w = orig.shape
+    sio.savemat(
+        args.out,
+        {
+            "meas_bayer": np.transpose(meas.reshape(h, w, -1), (0, 1, 2)),
+            "mask_bayer": np.transpose(s.mask, (1, 2, 0)),
+            "orig_bayer": np.transpose(orig.reshape(t * b, h, w), (1, 2, 0)),
+        },
+    )
+    print(f"synthetic scene -> {args.out}")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="adaptivepnp-sci-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("warmstart", help="GAP-TV warm start")
+    w.add_argument("--data", required=True)
+    w.add_argument("--out", required=True)
+    w.add_argument("--name", default="scene")
+    w.add_argument("--iters", type=int, default=40)
+    w.set_defaults(fn=_cmd_warmstart)
+
+    r = sub.add_parser("reconstruct", help="two-stage online-adaptive ADMM")
+    r.add_argument("--data", required=True)
+    r.add_argument("--name", default="Beauty",
+                   help="scene name for the schedule table")
+    r.add_argument("--warm", default=None)
+    r.add_argument("--out", default=None)
+    r.add_argument("--denoiser", choices=["ffdnet", "fastdvd"], default="ffdnet")
+    r.add_argument("--ckpt", default=None)
+    r.add_argument("--ddnet-ckpt", default=None)
+    r.add_argument("--deep-demosaicking", action="store_true")
+    r.add_argument("--no-update", action="store_true")
+    r.add_argument("--no-reuse-model", action="store_true")
+    r.set_defaults(fn=_cmd_reconstruct)
+
+    s = sub.add_parser("synth", help="generate a synthetic CACTI scene")
+    s.add_argument("--out", required=True)
+    s.add_argument("--size", type=int, default=512)
+    s.add_argument("--frames", type=int, default=8)
+    s.add_argument("--n-meas", type=int, default=1)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=_cmd_synth)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

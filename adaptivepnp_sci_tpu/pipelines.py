@@ -1,0 +1,118 @@
+"""Experiment drivers: warm start + online-adaptive reconstruction over a
+multi-measurement scene, mirroring the reference's script drivers
+(``ADMM_TV_Warm_Start_save.py``, ``two_stage_ADMM_Online_FFD_Warm.py``,
+``two_stage_ADMM_Online_FastDVD_Warm.py``) as library functions + CLI.
+
+Key behaviors preserved:
+  * per-scene schedule tables (:mod:`adaptivepnp_sci_tpu.configs`);
+  * warm-start ``.mat`` contract between the two stages;
+  * carrying refined denoiser weights to the next measurement
+    (``reuse_model``, FFD driver :270-275) — here simply threading the
+    returned variables/opt_state pytrees through a Python loop (shapes are
+    static, so every measurement reuses one compiled program).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from adaptivepnp_sci_tpu.configs import admm_config_for
+from adaptivepnp_sci_tpu.configs.scenes import WARM_START_ITERS
+from adaptivepnp_sci_tpu.data.mat_io import SceneData
+from adaptivepnp_sci_tpu.solvers import GapTVConfig, gap_tv, two_stage_admm
+from adaptivepnp_sci_tpu.solvers.priors import Prior
+from adaptivepnp_sci_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclass
+class ReconstructionOutput:
+    x_bayer: np.ndarray          # (T, B, H, W)
+    x_rgb: np.ndarray | None     # (T, B, H, W, 3)
+    psnr: np.ndarray             # (T, B)
+    ssim: np.ndarray             # (T, B)
+    psnr_all_iter: np.ndarray    # (T, iters)
+    seconds_per_meas: list[float]
+    variables: Any               # final (possibly adapted) denoiser variables
+
+
+def run_warm_start(
+    scene: SceneData, iters: int = WARM_START_ITERS
+) -> ReconstructionOutput:
+    """GAP-TV warm start over all measurements of a scene."""
+    outs, psnrs, ssims, traces, times = [], [], [], [], []
+    cfg = GapTVConfig(iters=iters)
+    for t in range(scene.n_meas):
+        t0 = time.perf_counter()
+        orig = scene.orig_bayer[t] if scene.orig_bayer is not None else None
+        res = gap_tv(scene.meas[t], scene.mask, cfg, orig_bayer=orig)
+        jax.block_until_ready(res.x_bayer)
+        times.append(time.perf_counter() - t0)
+        outs.append(np.asarray(res.x_bayer))
+        psnrs.append(np.asarray(res.psnr_per_frame))
+        ssims.append(np.asarray(res.ssim_per_frame))
+        traces.append(np.asarray(res.psnr_trace))
+        log.info(
+            "warmstart %s meas %d/%d: %.2f dB in %.2fs",
+            scene.name, t + 1, scene.n_meas, psnrs[-1].mean(), times[-1],
+        )
+    return ReconstructionOutput(
+        np.stack(outs), None, np.stack(psnrs), np.stack(ssims),
+        np.stack(traces), times, None,
+    )
+
+
+def run_reconstruction(
+    scene: SceneData,
+    prior: Prior,
+    variables: Any,
+    denoiser: str = "ffdnet",
+    deep_demosaicking: bool = False,
+    update: bool = True,
+    reuse_model: bool = True,
+    warm_start: np.ndarray | None = None,   # (T, B, H, W)
+    demosaic_fn: Callable | None = None,
+    config=None,
+) -> ReconstructionOutput:
+    """Two-stage online-adaptive reconstruction over all measurements."""
+    if config is None:
+        config = admm_config_for(scene.name, denoiser, deep_demosaicking, update)
+    initial_variables = variables
+    opt_state = None
+    outs, rgbs, psnrs, ssims, traces, times = [], [], [], [], [], []
+    for t in range(scene.n_meas):
+        if not reuse_model:
+            variables, opt_state = initial_variables, None
+        t0 = time.perf_counter()
+        orig = scene.orig_bayer[t] if scene.orig_bayer is not None else None
+        x0 = warm_start[t] if warm_start is not None else None
+        res = two_stage_admm(
+            scene.meas[t], scene.mask, config,
+            prior=prior, variables=variables, x0_bayer=x0,
+            orig_bayer=orig, demosaic_fn=demosaic_fn, opt_state=opt_state,
+            key=jax.random.PRNGKey(t),
+        )
+        jax.block_until_ready(res.x_bayer)
+        times.append(time.perf_counter() - t0)
+        if reuse_model and update:
+            variables, opt_state = res.variables, res.opt_state
+        outs.append(np.asarray(res.x_bayer))
+        rgbs.append(np.asarray(res.x_rgb))
+        psnrs.append(np.asarray(res.psnr_per_frame))
+        ssims.append(np.asarray(res.ssim_per_frame))
+        traces.append(np.asarray(res.psnr_trace))
+        log.info(
+            "%s meas %d/%d: PSNR %.2f dB SSIM %.4f in %.2fs",
+            scene.name, t + 1, scene.n_meas, psnrs[-1].mean(),
+            ssims[-1].mean(), times[-1],
+        )
+    return ReconstructionOutput(
+        np.stack(outs), np.stack(rgbs), np.stack(psnrs), np.stack(ssims),
+        np.stack(traces), times, variables,
+    )

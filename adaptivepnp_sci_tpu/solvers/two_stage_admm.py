@@ -80,6 +80,14 @@ class ADMMResult(NamedTuple):
     opt_state: Any
 
 
+@functools.lru_cache(maxsize=16)
+def _default_adam(lr: float) -> optax.GradientTransformation:
+    """Stable identity for the default adaptation optimizer: a fresh optax
+    object per call would miss the runner cache and recompile every
+    measurement."""
+    return optax.adam(lr)
+
+
 @functools.lru_cache(maxsize=32)
 def _build_runner(
     config: ADMMConfig,
@@ -250,7 +258,7 @@ def two_stage_admm(
 
     if config.adapt is not None and prior is not None:
         if optimizer is None:
-            optimizer = optax.adam(config.adapt.lr)
+            optimizer = _default_adam(config.adapt.lr)
         if opt_state is None:
             opt_state = optimizer.init(variables["params"])
     if key is None:

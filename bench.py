@@ -1,0 +1,112 @@
+"""Benchmark: frames/sec reconstructing a 512x512x8 color-Bayer CACTI snapshot.
+
+Flagship path = the reference's headline config (two_stage_ADMM_Online_FFD_Warm,
+scene 'Beauty'): GAP-TV warm start (40 iters) -> two-stage ADMM with
+FFDNet-color (real reference weights when present) + Malvar demosaic + online
+adaptation (lr 2e-6, 2 steps every 15 iters), sigma schedule
+[25,12,6]/255 x [15,6,4] iters.
+
+Baseline for ``vs_baseline``: the north-star target from BASELINE.json — one
+snapshot in 10 s (0.8 frames/s) on a single chip; the reference repo publishes
+no runtime numbers (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    import os
+
+    from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+    from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+    from adaptivepnp_sci_tpu.solvers import (
+        ADMMConfig,
+        GapTVConfig,
+        gap_tv,
+        two_stage_admm,
+    )
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+    b, h, w = 8, 512, 512
+    scene = make_scene(b=b, h=h, w=w, seed=42)
+
+    model = ffdnet_color()
+    ckpt = "/root/reference/model_zoo/ffdnet_color.pth"
+    if os.path.exists(ckpt):
+        from adaptivepnp_sci_tpu.models.convert import load_ffdnet
+
+        variables = load_ffdnet(ckpt)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.float32(0.1)
+        )
+    variables = jax.device_put(variables)
+    prior = ffdnet_prior(model)
+
+    warm_cfg = GapTVConfig(iters=40)
+    admm_cfg = ADMMConfig(
+        sigma=(25 / 255, 12 / 255, 6 / 255),
+        iters=(15, 6, 4),
+        denoiser="ffdnet",
+        adapt=AdaptConfig(lr=2e-6, update_per_iter=2, interval_iter=15,
+                          initial_iter=1),
+    )
+
+    y = jnp.asarray(scene.meas)
+    phi = jnp.asarray(scene.mask)
+    orig = jnp.asarray(scene.orig_bayer)
+
+    def reconstruct():
+        warm = gap_tv(y, phi, warm_cfg)
+        res = two_stage_admm(
+            y, phi, admm_cfg, prior=prior, variables=variables,
+            x0_bayer=warm.x_bayer, orig_bayer=orig,
+        )
+        return res
+
+    # warmup: compile everything
+    res = reconstruct()
+    jax.block_until_ready(res.x_rgb)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = reconstruct()
+        jax.block_until_ready(res.x_rgb)
+        times.append(time.perf_counter() - t0)
+
+    sec_per_snapshot = min(times)
+    fps = b / sec_per_snapshot
+    baseline_fps = 0.8  # north star: 8 frames / 10 s per snapshot
+    psnr = float(res.psnr_per_frame.mean())
+    ssim = float(res.ssim_per_frame.mean())
+
+    print(
+        json.dumps(
+            {
+                "metric": "frames/sec reconstructed at 512x512x8 Bayer "
+                          "(two-stage ADMM + FFDNet + online adaptation)",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / baseline_fps, 3),
+                "seconds_per_snapshot": round(sec_per_snapshot, 3),
+                "psnr_db": round(psnr, 2),
+                "ssim": round(ssim, 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Config tables, .mat I/O round trips, and the multi-measurement driver."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptivepnp_sci_tpu.configs import (
+    FASTDVD_SCENES,
+    FFDNET_SCENES,
+    SCENE_NAMES,
+    admm_config_for,
+)
+from adaptivepnp_sci_tpu.data.mat_io import (
+    SceneData,
+    load_cacti_mat,
+    load_warm_start,
+    save_results,
+    save_warm_start,
+)
+from adaptivepnp_sci_tpu.data.synthetic import make_scene
+
+
+def test_all_scenes_have_configs():
+    for name in SCENE_NAMES:
+        for dd in (False, True):
+            assert FFDNET_SCENES[name][dd].sigma
+            assert FASTDVD_SCENES[name][dd].sigma
+            cfg = admm_config_for(name, "ffdnet", dd)
+            assert len(cfg.sigma) == len(cfg.iters)
+
+
+def test_reference_table_spot_checks():
+    """Spot-check transcription against the driver sources."""
+    beauty = FFDNET_SCENES["Beauty"][True]
+    assert beauty.iters == (6, 6, 4) and beauty.interval_iter == 6
+    traffic = FASTDVD_SCENES["Traffic"][True]
+    assert traffic.sigma == (25 / 255, 12 / 255, 6 / 255)
+    assert traffic.iters == (36, 6, 2) and traffic.interval_iter == 43
+    b = FASTDVD_SCENES["Beauty"][False]
+    assert b.update_times == 1 and b.sigma == (8 / 255,)
+
+
+def test_admm_config_rho_tau_rules():
+    cfg = admm_config_for("Beauty", "fastdvd", False)
+    assert cfg.rho == 0.55 and cfg.tau == 100.0
+    cfg = admm_config_for("Beauty", "ffdnet", False)
+    assert cfg.rho == 1.0 and cfg.alpha == 1.0
+
+
+def test_warm_start_mat_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    recon = rng.random((2, 4, 8, 8)).astype(np.float32)  # (T, B, H, W)
+    path = str(tmp_path / "warm.mat")
+    save_warm_start(path, recon)
+    back = load_warm_start(path, n_frames=4)
+    np.testing.assert_allclose(back, recon, rtol=1e-6)
+
+
+def test_results_mat_write(tmp_path):
+    import scipy.io as sio
+
+    x = np.zeros((1, 4, 8, 8), np.float32)
+    rgb = np.zeros((1, 4, 8, 8, 3), np.float32)
+    path = str(tmp_path / "res.mat")
+    save_results(path, x, rgb, np.ones((1, 4)), np.ones((1, 4)),
+                 np.zeros((1, 10)))
+    back = sio.loadmat(path)
+    assert back["v_recon_bayer"].shape == (8, 8, 4)
+    assert back["psnr_all_iter"].shape == (1, 10)
+
+
+def test_cacti_mat_v5_loader(tmp_path):
+    import scipy.io as sio
+
+    s = make_scene(b=4, h=16, w=16, seed=0)
+    path = str(tmp_path / "scene.mat")
+    sio.savemat(
+        path,
+        {
+            "meas_bayer": s.meas.astype(np.float32),           # (H, W)
+            "mask_bayer": np.transpose(s.mask, (1, 2, 0)),     # (H, W, B)
+            "orig_bayer": np.transpose(s.orig_bayer, (1, 2, 0)),
+        },
+    )
+    data = load_cacti_mat(path, "synth")
+    assert data.meas.shape == (1, 16, 16)
+    assert data.mask.shape == (4, 16, 16)
+    assert data.orig_bayer.shape == (1, 4, 16, 16)
+    np.testing.assert_allclose(data.mask, s.mask)
+    np.testing.assert_allclose(data.orig_bayer[0], s.orig_bayer, rtol=1e-6)
+
+
+def test_cacti_mat_v73_loader(tmp_path):
+    h5py = pytest.importorskip("h5py")
+
+    s = make_scene(b=4, h=16, w=16, seed=1, n_meas=2)
+    path = str(tmp_path / "scene73.mat")
+    orig = s.orig_bayer.reshape(8, 16, 16)
+    with h5py.File(path, "w") as f:
+        # v7.3 files present arrays transposed relative to MATLAB shape
+        f["meas_bayer"] = np.transpose(s.meas, (2, 1, 0))   # (T, W, H)
+        f["mask_bayer"] = np.transpose(s.mask, (0, 2, 1))   # (B, W, H)
+        f["orig_bayer"] = np.transpose(orig, (0, 2, 1))     # (T*B, W, H)
+    data = load_cacti_mat(path, "synth73")
+    assert data.meas.shape == (2, 16, 16)
+    np.testing.assert_allclose(data.mask, s.mask)
+    np.testing.assert_allclose(
+        data.orig_bayer.reshape(8, 16, 16), orig, rtol=1e-6
+    )
+
+
+def test_run_reconstruction_carries_model(tmp_path):
+    """Driver loop: adapted weights from measurement t feed measurement t+1."""
+    from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.pipelines import run_reconstruction
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import ADMMConfig
+
+    s = make_scene(b=4, h=16, w=16, seed=2, n_meas=2)
+    scene = SceneData("synth", s.meas.transpose(2, 0, 1) if s.meas.ndim == 3
+                      else s.meas[None], s.mask, s.orig_bayer)
+
+    model = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.float32(0.1))
+    prior = ffdnet_prior(model)
+    config = ADMMConfig(
+        sigma=(25 / 255,), iters=(4,), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=1e-4, update_per_iter=1, interval_iter=2,
+                          initial_iter=0),
+    )
+    out = run_reconstruction(scene, prior, variables, config=config)
+    assert out.x_bayer.shape == (2, 4, 16, 16)
+    before = jax.tree_util.tree_leaves(variables["params"])
+    after = jax.tree_util.tree_leaves(out.variables["params"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
