@@ -1,0 +1,99 @@
+"""Training data pipelines.
+
+The reference trains on DAVIS sequences / image folders prepared into HDF5
+patch databases (``packages/ffdnet/{prepare_patches,dataset}.py``) or decoded
+on GPU with NVIDIA DALI (optional, disabled). Neither the data nor DALI ship
+here, so this module provides:
+
+  * :func:`extract_patches` — multiscale strided patch extraction matching
+    the FFDNet pipeline (scales 1/0.9/0.8/0.7, ``dataset.py:24-145``);
+  * :func:`temporal_chunks` — 5-frame training windows from video arrays
+    (``packages/{fastdvdnet,DDnet}/dataset.py``);
+  * array-backed batch iterators (optionally from ``.npy``/``.npz`` files)
+    that feed the device once per step — the host side stays trivial because
+    augmentation/noise run on device inside the jitted train step;
+  * :func:`synthetic_video_dataset` — procedurally generated clips for tests
+    and for regenerating DDnet weights without external data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+FFDNET_SCALES = (1.0, 0.9, 0.8, 0.7)
+
+
+def _rescale(img: np.ndarray, scale: float) -> np.ndarray:
+    """Nearest-neighbor rescale (host-side, data prep only)."""
+    if scale == 1.0:
+        return img
+    h, w = img.shape[:2]
+    nh, nw = int(h * scale), int(w * scale)
+    yi = (np.arange(nh) / scale).astype(np.int32).clip(0, h - 1)
+    xi = (np.arange(nw) / scale).astype(np.int32).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def extract_patches(
+    img: np.ndarray, patch: int, stride: int,
+    scales: tuple[float, ...] = FFDNET_SCALES,
+) -> np.ndarray:
+    """Multiscale strided patches of one image ``(H, W, C) -> (N, p, p, C)``."""
+    out = []
+    for s in scales:
+        im = _rescale(img, s)
+        h, w = im.shape[:2]
+        for y in range(0, h - patch + 1, stride):
+            for x in range(0, w - patch + 1, stride):
+                out.append(im[y : y + patch, x : x + patch])
+    if not out:
+        return np.zeros((0, patch, patch) + img.shape[2:], img.dtype)
+    return np.stack(out)
+
+
+def temporal_chunks(video: np.ndarray, length: int = 5, stride: int = 3) -> np.ndarray:
+    """Overlapping temporal windows ``(T, H, W, C) -> (N, length, H, W, C)``."""
+    t = video.shape[0]
+    starts = list(range(0, max(t - length + 1, 1), stride))
+    return np.stack([video[s : s + length] for s in starts if s + length <= t])
+
+
+def synthetic_video_dataset(
+    n_clips: int, length: int = 5, size: int = 96, seed: int = 0
+) -> np.ndarray:
+    """Procedural moving-blob clips ``(n, length, size, size, 3)`` in [0,1]."""
+    from adaptivepnp_sci_tpu.data.synthetic import _smooth_video
+
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [_smooth_video(length, size, size, rng) for _ in range(n_clips)]
+    )
+
+
+def load_array_dir(path: str) -> list[np.ndarray]:
+    """Load all ``.npy``/``.npz`` arrays under a directory (videos or images)."""
+    arrays = []
+    for name in sorted(os.listdir(path)):
+        p = os.path.join(path, name)
+        if name.endswith(".npy"):
+            arrays.append(np.load(p))
+        elif name.endswith(".npz"):
+            with np.load(p) as z:
+                arrays.extend(z[k] for k in z.files)
+    return arrays
+
+
+def batch_iterator(
+    data: np.ndarray, batch_size: int, seed: int = 0, epochs: int | None = None
+) -> Iterator[np.ndarray]:
+    """Shuffled epoch iterator over the leading axis."""
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(len(data))
+        for i in range(0, len(data) - batch_size + 1, batch_size):
+            yield data[order[i : i + batch_size]]
+        epoch += 1

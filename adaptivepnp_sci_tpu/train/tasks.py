@@ -1,0 +1,80 @@
+"""Training task definitions: on-device batch synthesis + loss per network.
+
+Each task is a pure ``(variables, key, raw_batch) -> (loss, new_batch_stats)``
+so the whole step (augment -> noise -> forward -> loss) jits into one program.
+
+Reference parity:
+  * FFDNet: random sigma in [0, 75]/255, loss MSE/2
+    (``packages/ffdnet/train.py:126-154``, noise interval ``:252``);
+  * FastDVDnet: 5-frame clips, sigma in [5, 55]/255, loss vs clean center
+    frame /2, train-mode BN (``packages/fastdvdnet/train_fastdvdnet.py:
+    118-136``);
+  * DDnet: sigma = 1/255, every frame mosaicked to sparse RGB, target = the
+    *noisy* center frame (``packages/DDnet/train_DDnet.py:114-124``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from adaptivepnp_sci_tpu.ops import bayer
+from adaptivepnp_sci_tpu.train.augment import add_gaussian_noise, augment_batch
+
+
+class TrainTask(NamedTuple):
+    name: str
+    loss_fn: Callable[[Any, Array, Array], tuple[Array, Any]]
+    # (variables, key, raw_batch) -> (loss, mutated_collections or {})
+
+
+def ffdnet_task(model, sigma_range: tuple[float, float] = (0.0, 75 / 255)) -> TrainTask:
+    def loss_fn(variables, key, clean):
+        k1, k2, k3 = jax.random.split(key, 3)
+        clean = augment_batch(k1, clean)
+        sigma = jax.random.uniform(
+            k2, (clean.shape[0],), minval=sigma_range[0], maxval=sigma_range[1]
+        )
+        noisy = add_gaussian_noise(k3, clean, sigma)
+        out = model.apply(variables, noisy, sigma)
+        return jnp.mean((out - clean) ** 2) / 2.0, {}
+
+    return TrainTask("ffdnet", loss_fn)
+
+
+def fastdvd_task(
+    model, sigma_range: tuple[float, float] = (5 / 255, 55 / 255)
+) -> TrainTask:
+    def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
+        k1, k2, k3 = jax.random.split(key, 3)
+        clips = augment_batch(k1, clips)
+        sigma = jax.random.uniform(
+            k2, (clips.shape[0],), minval=sigma_range[0], maxval=sigma_range[1]
+        )
+        noisy = add_gaussian_noise(k3, clips, sigma)
+        out, mutated = model.apply(
+            variables, noisy, sigma, train=True, mutable=["batch_stats"]
+        )
+        center = clips[:, clips.shape[1] // 2]
+        return jnp.mean((out - center) ** 2) / 2.0, mutated
+
+    return TrainTask("fastdvd", loss_fn)
+
+
+def ddnet_task(model, sigma: float = 1 / 255) -> TrainTask:
+    def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
+        k1, k3 = jax.random.split(key)
+        clips = augment_batch(k1, clips)
+        noisy = add_gaussian_noise(k3, clips, jnp.full((clips.shape[0],), sigma))
+        # mosaic every frame into sparse RGB (the network's input domain)
+        n, f, h, w, _ = noisy.shape
+        mosaicked = bayer.embed_rgb(bayer.mosaic(noisy.reshape(n * f, h, w, 3)))
+        windows = mosaicked.reshape(n, f, h, w, 3)
+        out = model.apply(variables, windows)
+        target = noisy[:, f // 2]
+        return jnp.mean((out - target) ** 2), {}
+
+    return TrainTask("ddnet", loss_fn)

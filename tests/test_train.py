@@ -1,0 +1,142 @@
+"""Training subsystem: augmentation, regularizer, tasks, trainer loop, resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptivepnp_sci_tpu.models.ddnet import DDnet
+from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+from adaptivepnp_sci_tpu.train import Trainer, TrainerConfig
+from adaptivepnp_sci_tpu.train.augment import apply_mode, augment_batch
+from adaptivepnp_sci_tpu.train.datasets import (
+    batch_iterator,
+    extract_patches,
+    synthetic_video_dataset,
+    temporal_chunks,
+)
+from adaptivepnp_sci_tpu.train.regularizers import svd_orthogonalize
+from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task, ffdnet_task
+
+
+def test_apply_mode_dihedral_group(rng):
+    img = jnp.asarray(rng.random((8, 8, 3), dtype=np.float32))
+    outs = [np.asarray(apply_mode(img, jnp.int32(m))) for m in range(8)]
+    # all 8 modes distinct for a generic image
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.allclose(outs[i], outs[j])
+    np.testing.assert_array_equal(outs[0], img)
+    np.testing.assert_array_equal(outs[4], np.rot90(np.asarray(img), 2, (0, 1)))
+
+
+def test_augment_batch_shapes(rng):
+    batch = jnp.asarray(rng.random((6, 8, 8, 3), dtype=np.float32))
+    out = augment_batch(jax.random.PRNGKey(0), batch)
+    assert out.shape == batch.shape
+
+
+def test_svd_orthogonalize_makes_columns_orthonormal(rng):
+    k = jnp.asarray(rng.random((3, 3, 8, 4), dtype=np.float32))
+    params = {"conv": {"kernel": k, "bias": jnp.zeros((4,))}}
+    out = svd_orthogonalize(params)
+    mat = np.asarray(out["conv"]["kernel"]).reshape(-1, 4)
+    np.testing.assert_allclose(mat.T @ mat, np.eye(4), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["conv"]["bias"]), 0)
+
+
+def test_extract_patches_counts():
+    img = np.zeros((40, 40, 3), np.float32)
+    p = extract_patches(img, patch=16, stride=8, scales=(1.0,))
+    assert p.shape == (16, 16, 16, 3)
+    p2 = extract_patches(img, patch=16, stride=8)  # multiscale adds more
+    assert p2.shape[0] > 16
+
+
+def test_temporal_chunks():
+    v = np.zeros((12, 8, 8, 3), np.float32)
+    c = temporal_chunks(v, length=5, stride=3)
+    assert c.shape == (3, 5, 8, 8, 3)
+
+
+def _loss_curve(trainer, data, steps):
+    losses = trainer.fit(batch_iterator(data, 4, seed=0), max_steps=steps,
+                         log_every=10**9)
+    return losses
+
+
+def test_ffdnet_training_reduces_loss():
+    model = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                           jnp.float32(0.1))
+    clips = synthetic_video_dataset(8, length=1, size=16, seed=0)[:, 0]
+    trainer = Trainer(
+        ffdnet_task(model), variables,
+        TrainerConfig(lr=1e-3, steps_per_epoch=10, milestones=(5, 8)),
+    )
+    losses = _loss_curve(trainer, clips, 40)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_fastdvd_training_step_updates_bn_stats():
+    model = FastDVDnet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)),
+                           jnp.float32(0.1))
+    clips = synthetic_video_dataset(4, length=5, size=16, seed=1)
+    trainer = Trainer(
+        fastdvd_task(model), variables,
+        TrainerConfig(lr=1e-4, steps_per_epoch=10),
+    )
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    trainer.fit(batch_iterator(clips, 2, seed=0), max_steps=2, log_every=10**9)
+    after = jax.tree_util.tree_leaves(trainer.variables["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
+
+
+def test_ddnet_training_reduces_loss():
+    model = DDnet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)))
+    clips = synthetic_video_dataset(8, length=5, size=16, seed=2)
+    trainer = Trainer(
+        ddnet_task(model), variables,
+        TrainerConfig(lr=5e-4, steps_per_epoch=10),
+    )
+    losses = _loss_curve(trainer, clips, 30)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    model = FFDNet(in_nc=3, out_nc=3, nc=4, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.float32(0.1))
+    clips = synthetic_video_dataset(4, length=1, size=8, seed=3)[:, 0]
+    cfg = TrainerConfig(lr=1e-3, steps_per_epoch=5,
+                        ckpt_dir=str(tmp_path / "ckpt"))
+    t1 = Trainer(ffdnet_task(model), variables, cfg)
+    t1.fit(batch_iterator(clips, 2, seed=0), max_steps=3, log_every=10**9)
+    path = str(tmp_path / "ckpt" / "manual")
+    t1.save(path)
+
+    t2 = Trainer(ffdnet_task(model), variables, cfg)
+    t2.restore(path)
+    assert t2.step == 3
+    for a, b in zip(jax.tree_util.tree_leaves(t1.variables),
+                    jax.tree_util.tree_leaves(t2.variables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_milestone_lr_schedule():
+    model = FFDNet(in_nc=3, out_nc=3, nc=4, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.float32(0.1))
+    cfg = TrainerConfig(lr=1e-2, steps_per_epoch=2, milestones=(1, 2))
+    t = Trainer(ffdnet_task(model), variables, cfg)
+    sched = t.optimizer  # schedule embedded; probe via schedule fn
+    import optax
+
+    s = optax.piecewise_constant_schedule(1e-2, {4: 0.1, 6: 0.01})
+    assert abs(float(s(0)) - 1e-2) < 1e-9
+    assert abs(float(s(5)) - 1e-3) < 1e-9
+    assert abs(float(s(7)) - 1e-5) < 1e-9
