@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from adaptivepnp_sci_tpu.ops import bayer, metrics, physics, tv
+from adaptivepnp_sci_tpu.ops import bayer, metrics, pallas_kernels, physics, tv
 
 
 @dataclass(frozen=True)
@@ -33,6 +33,7 @@ class GapTVConfig:
     tv_weight: float = 0.1
     tv_iters: int = 5
     accelerate: bool = False  # plain GAP, as the reference warm start
+    use_pallas: bool | None = None  # None = auto (fused kernel on TPU)
 
 
 class GapTVResult(NamedTuple):
@@ -48,10 +49,14 @@ def _gap_tv_packed(
     compute_trace: bool,
 ) -> tuple[Array, Array]:
     phi_s = physics.phi_sum(phi)
+    use_pallas = (
+        pallas_kernels.on_tpu() if config.use_pallas is None else config.use_pallas
+    )
+    x_update = pallas_kernels.gap_x_update if use_pallas else physics.gap_x_update
 
     def step(carry, _):
         x, theta, b = carry
-        x = physics.gap_x_update(theta, b, y, phi, phi_s, config.lam, config.gamma)
+        x = x_update(theta, b, y, phi, phi_s, config.lam, config.gamma)
         xb = x - b
         theta = tv.tv_chambolle_multichannel(
             xb, weight=config.tv_weight, max_iter=config.tv_iters

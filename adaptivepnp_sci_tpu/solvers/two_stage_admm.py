@@ -35,7 +35,7 @@ import optax
 from jax import Array
 
 from adaptivepnp_sci_tpu.adapt.online import AdaptConfig, make_adapt_fn, make_schedule
-from adaptivepnp_sci_tpu.ops import bayer, demosaic, metrics, physics, tv
+from adaptivepnp_sci_tpu.ops import bayer, demosaic, metrics, pallas_kernels, physics, tv
 from adaptivepnp_sci_tpu.solvers.priors import Prior
 
 
@@ -53,6 +53,7 @@ class ADMMConfig:
     tv_weight: float = 0.1
     tv_iters: int = 5
     adapt: AdaptConfig | None = None
+    use_pallas: bool | None = None  # None = auto (fused x-update on TPU)
 
     @property
     def rho(self) -> float:
@@ -113,6 +114,13 @@ def _build_runner(
         phi_p = bayer.pack(phi_full)  # (B, 4, H2, W2)
         phi_s = physics.phi_sum(phi_p)
         n_frames, h, w = phi_full.shape
+        use_pallas = (
+            pallas_kernels.on_tpu() if config.use_pallas is None
+            else config.use_pallas
+        )
+        x_update = (
+            pallas_kernels.admm_x_update if use_pallas else physics.admm_x_update
+        )
 
         cfa = jnp.asarray(bayer.cfa_masks((h, w)), jnp.float32)
 
@@ -133,7 +141,7 @@ def _build_runner(
             def step(carry, inp):
                 x, theta, b = carry
                 _sigma, _flag, _k = inp
-                x = physics.admm_x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
+                x = x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
                 xb = x + b / rho
                 theta = tv.tv_chambolle_multichannel(
                     xb, weight=config.tv_weight, max_iter=config.tv_iters
@@ -156,7 +164,7 @@ def _build_runner(
             x, theta, b, w_dual, xhat, variables, opt_state, key = carry
             sigma, adapt_flag, k = inp
 
-            x = physics.admm_x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
+            x = x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
             xb_full = bayer.unpack(x + b / rho)  # (B, H, W)
 
             if config.closed_form_demosaic:

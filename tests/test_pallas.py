@@ -1,0 +1,55 @@
+"""Fused Pallas x-update kernels vs the jnp oracle (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from adaptivepnp_sci_tpu.ops import pallas_kernels, physics
+
+
+def _data(rng, b=8, c=4, h=16, w=128):
+    theta = rng.random((b, c, h, w), dtype=np.float32)
+    bdual = (rng.random((b, c, h, w), dtype=np.float32) - 0.5) * 0.2
+    phi = (rng.random((b, c, h, w)) > 0.5).astype(np.float32)
+    y = (rng.random((b, c, h, w), dtype=np.float32) * phi).sum(0)
+    phis = phi.sum(0)
+    phis[phis == 0] = 1
+    return map(jnp.asarray, (theta, bdual, y, phi, phis))
+
+
+def test_fused_admm_x_update_matches_oracle(rng):
+    theta, b, y, phi, phis = _data(rng)
+    rho, alpha = 0.55, 1.0
+    want = physics.admm_x_update(theta, b, y, phi, phis, rho, alpha)
+    got = pallas_kernels.admm_x_update(
+        theta, b, y, phi, phis, rho, alpha, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gap_x_update_matches_oracle(rng):
+    theta, b, y, phi, phis = _data(rng)
+    want = physics.gap_x_update(theta, b, y, phi, phis, 1.0, 0.01)
+    got = pallas_kernels.gap_x_update(
+        theta, b, y, phi, phis, 1.0, 0.01, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_kernel_tiled_grid(rng):
+    """Shapes matching the 512px benchmark tile path (grid > 1)."""
+    theta, b, y, phi, phis = _data(rng, b=4, c=4, h=128, w=256)
+    want = physics.admm_x_update(theta, b, y, phi, phis, 1.0, 1.0)
+    got = pallas_kernels.admm_x_update(
+        theta, b, y, phi, phis, 1.0, 1.0, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gap_lam_fallback(rng):
+    theta, b, y, phi, phis = _data(rng, h=8, w=8)
+    want = physics.gap_x_update(theta, b, y, phi, phis, 0.5, 0.01)
+    got = pallas_kernels.gap_x_update(theta, b, y, phi, phis, 0.5, 0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
