@@ -63,6 +63,39 @@ def load_ffdnet(path: str) -> dict:
     return ffdnet_params(load_torch_state_dict(path))
 
 
+def ffdnet_ipol_variables(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """IPOL-FFDNet checkpoint (``intermediate_dncnn.itermediate_dncnn.{i}``,
+    conv/BN interleave, the 'itermediate' typo is the reference's) -> Flax."""
+    prefix = "intermediate_dncnn.itermediate_dncnn."
+    entries: dict[int, dict[str, np.ndarray]] = {}
+    for k, v in state_dict.items():
+        if not k.startswith(prefix):
+            continue
+        idx_str, leaf = k[len(prefix):].split(".")
+        entries.setdefault(int(idx_str), {})[leaf] = v
+
+    params: dict = {}
+    stats: dict = {}
+    conv_i = 0
+    bn_i = None
+    for idx in sorted(entries):
+        e = entries[idx]
+        if "running_mean" in e:  # BatchNorm
+            name = f"bn_{bn_i}"
+            params[name] = {"scale": e["weight"], "bias": e["bias"]}
+            stats[name] = {"mean": e["running_mean"], "var": e["running_var"]}
+        else:  # conv (bias-free)
+            name = f"conv_{conv_i}"
+            params[name] = {"kernel": conv_kernel(e["weight"])}
+            bn_i = conv_i
+            conv_i += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def load_ffdnet_ipol(path: str) -> dict:
+    return ffdnet_ipol_variables(load_torch_state_dict(path))
+
+
 # ---------------------------------------------------------------------------
 # FastDVDnet: map the reference's Sequential indices to named Flax scopes.
 #

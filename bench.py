@@ -16,16 +16,21 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compilation cache: the ~60s XLA compile of the adaptive solver
+# scan happens once per machine, not once per bench process.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
 
 def main() -> None:
-    import os
-
     from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
     from adaptivepnp_sci_tpu.data.synthetic import make_scene
     from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
