@@ -158,8 +158,13 @@ def _refine(r, g, b, masks, m):
 
 @functools.partial(jax.jit, static_argnames=("pattern", "refining_step"))
 def menon2007(cfa: Array, pattern: str = "RGGB", refining_step: bool = True) -> Array:
-    """Directional demosaic, batched: ``(B, H, W) -> (B, H, W, 3)``."""
+    """Directional demosaic, batched: ``(B, H, W) -> (B, H, W, 3)``.
+
+    Dtype-preserving for float inputs: the H/V decision ``d_V >= d_H`` can
+    tie within fp32 epsilon on synthetic data; float64 inputs (under
+    ``jax.experimental.enable_x64``) reproduce the reference bit-for-bit.
+    """
+    if not jnp.issubdtype(cfa.dtype, jnp.floating):
+        cfa = cfa.astype(jnp.float32)
     masks = cfa_masks(cfa.shape[-2:], pattern)
-    return jax.vmap(lambda im: _menon_single(im, masks, refining_step))(
-        cfa.astype(jnp.float32)
-    )
+    return jax.vmap(lambda im: _menon_single(im, masks, refining_step))(cfa)

@@ -1,6 +1,7 @@
 """Menon2007 demosaic: golden values from the reference package's published
 doctest examples (menon2007.py docstrings) + structural invariants."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +44,12 @@ def test_menon_doctest_rggb():
 
 
 def test_menon_doctest_bggr():
-    got = np.asarray(menon2007(jnp.asarray(_CFA_BGGR)[None], pattern="BGGR"))[0]
+    # the H/V classifier ties within fp32 eps on this tiny example; run the
+    # golden comparison in float64 like the reference
+    with jax.enable_x64(True):
+        got = np.asarray(
+            menon2007(jnp.asarray(_CFA_BGGR, jnp.float64)[None], pattern="BGGR")
+        )[0]
     np.testing.assert_allclose(got, _EXPECTED_BGGR, atol=2e-7)
 
 
