@@ -23,9 +23,11 @@ _EXPECTED_RGGB = np.array(
       [0.30588236, 0.36078432, 0.39019609],
       [0.32156864, 0.3764706, 0.40000001]]], np.float32)
 
+# float64: the H/V classifier for this example ties at ~1.5e-8, so the
+# input must carry full doctest precision
 _CFA_BGGR = np.array(
     [[0.3764706, 0.36078432, 0.40784314, 0.3764706],
-     [0.35686275, 0.30980393, 0.36078432, 0.29803923]], np.float32)
+     [0.35686275, 0.30980393, 0.36078432, 0.29803923]], np.float64)
 
 _EXPECTED_BGGR = np.array(
     [[[0.30588236, 0.35686275, 0.3764706],
