@@ -59,6 +59,16 @@ def window_indices(n_frames: int, window: int = 5) -> Array:
     return (jnp.arange(n_frames)[:, None] + jnp.arange(window)[None, :] - hw) % n_frames
 
 
+def window_indices_mirror(n_frames: int, window: int = 5) -> Array:
+    """Mirror-border sliding windows — the ``denoise_seq_fastdvdnet`` variant
+    (``packages/fastdvdnet/fastdvdnet.py:36-79``): out-of-range neighbors
+    reflect off the sequence ends instead of wrapping."""
+    hw = (window - 1) // 2
+    idx = jnp.arange(n_frames)[:, None] + jnp.arange(window)[None, :] - hw
+    idx = jnp.abs(idx)                       # reflect at 0
+    return jnp.where(idx >= n_frames, 2 * (n_frames - 1) - idx, idx)
+
+
 def ddnet_demosaic(model, variables, window: int = 5):
     """Deep joint demosaicker callback for the solver: ``(B, H, W) -> (B, H, W, 3)``.
 

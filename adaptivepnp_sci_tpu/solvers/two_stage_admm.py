@@ -46,7 +46,7 @@ class ADMMConfig:
     sigma: tuple[float, ...]
     iters: tuple[int, ...]
     denoiser: str = "ffdnet"          # 'tv' | 'ffdnet' | 'fastdvd'
-    demosaic_method: str = "malvar"   # 'malvar' | 'bilinear' | 'ddnet'
+    demosaic_method: str = "malvar"   # 'malvar' | 'bilinear' | 'menon2007' | 'ddnet'
     closed_form_demosaic: bool = False
     lam: float = 1.0
     gamma: float = 0.01
@@ -128,6 +128,10 @@ def _build_runner(
             dm = demosaic_fn
         elif config.demosaic_method == "bilinear":
             dm = lambda m: demosaic.bilinear(m)  # noqa: E731
+        elif config.demosaic_method == "menon2007":
+            from adaptivepnp_sci_tpu.ops.menon2007 import menon2007
+
+            dm = lambda m: menon2007(m)  # noqa: E731
         else:
             dm = lambda m: demosaic.malvar2004(m)  # noqa: E731
 

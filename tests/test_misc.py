@@ -1,0 +1,76 @@
+"""Window variants, VGG features, profiling helpers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptivepnp_sci_tpu.models.feature import (
+    VGGFeatures,
+    perceptual_loss,
+    vgg_variables_from_torch,
+)
+from adaptivepnp_sci_tpu.solvers.priors import window_indices_mirror
+from adaptivepnp_sci_tpu.utils.profiling import StepTimer
+
+
+def test_window_indices_mirror():
+    idx = np.asarray(window_indices_mirror(8, 5))
+    np.testing.assert_array_equal(idx[0], [2, 1, 0, 1, 2])
+    np.testing.assert_array_equal(idx[1], [1, 0, 1, 2, 3])
+    np.testing.assert_array_equal(idx[4], [2, 3, 4, 5, 6])
+    np.testing.assert_array_equal(idx[7], [5, 6, 7, 6, 5])
+
+
+def test_vgg_features_shapes(rng):
+    model = VGGFeatures(feature_layer=8)  # through conv/relu of block 2
+    x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    f = model.apply(variables, x)
+    assert f.shape[0] == 1 and f.shape[-1] == 128
+
+
+def test_vgg_converter_roundtrip(rng):
+    # fabricate a torchvision-style partial state dict
+    sd = {
+        "features.0.weight": rng.random((64, 3, 3, 3), dtype=np.float32),
+        "features.0.bias": rng.random(64, dtype=np.float32),
+        "features.2.weight": rng.random((64, 64, 3, 3), dtype=np.float32),
+        "features.2.bias": rng.random(64, dtype=np.float32),
+    }
+    variables = vgg_variables_from_torch(sd)
+    assert variables["params"]["conv_0"]["kernel"].shape == (3, 3, 3, 64)
+    model = VGGFeatures(feature_layer=3)
+    x = jnp.zeros((1, 16, 16, 3))
+    f = model.apply(variables, x)
+    assert f.shape == (1, 16, 16, 64)
+
+
+def test_perceptual_loss_zero_for_identical(rng):
+    model = VGGFeatures(feature_layer=3)
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert float(perceptual_loss(variables, model, x, x)) == 0.0
+
+
+def test_step_timer():
+    t = StepTimer()
+    with t.measure() as h:
+        h["out"] = jnp.ones((8, 8)) * 2
+    assert len(t.history) == 1 and t.best > 0
+
+
+def test_solver_menon_demosaic_option():
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.solvers import ADMMConfig, two_stage_admm
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+    scene = make_scene(b=4, h=16, w=16, seed=5)
+    model = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.float32(0.1))
+    cfg = ADMMConfig(sigma=(25 / 255,), iters=(2,), denoiser="ffdnet",
+                     demosaic_method="menon2007")
+    res = two_stage_admm(scene.meas, scene.mask, cfg,
+                         prior=ffdnet_prior(model), variables=variables)
+    assert np.isfinite(np.asarray(res.x_rgb)).all()
