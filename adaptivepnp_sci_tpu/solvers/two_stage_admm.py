@@ -291,3 +291,67 @@ def two_stage_admm(
     else:
         p = s = jnp.zeros((x_bayer.shape[0],), jnp.float32)
     return ADMMResult(xhat, x_bayer, p, s, trace, variables, opt_state)
+
+
+def two_stage_admm_batched(
+    y_batch: Array,
+    phi_bayer: Array,
+    config: ADMMConfig,
+    prior: Prior | None = None,
+    variables: Any = None,
+    x0_batch: Array | None = None,
+    orig_batch: Array | None = None,
+    demosaic_fn: Callable | None = None,
+    optimizer: optax.GradientTransformation | None = None,
+) -> ADMMResult:
+    """Throughput mode: reconstruct ``T`` measurements of one scene as a vmap
+    batch (every result field gains a leading ``T`` axis).
+
+    The vmap axis replaces the reference's sequential per-measurement loop;
+    each measurement carries its own adaptation state (no cross-measurement
+    weight reuse — use :func:`adaptivepnp_sci_tpu.pipelines.run_reconstruction`
+    for the reference's sequential ``reuse_model`` semantics). The batch axis
+    composes with a ('data',) mesh sharding for multi-chip throughput.
+    """
+    t = y_batch.shape[0]
+    y = jnp.asarray(y_batch, jnp.float32)
+    phi = jnp.asarray(phi_bayer, jnp.float32)
+
+    if x0_batch is None:
+        x0 = jax.vmap(lambda yy: physics.adjoint(bayer.pack(yy), bayer.pack(phi)))(y)
+    else:
+        x0 = jax.vmap(bayer.pack)(jnp.asarray(x0_batch, jnp.float32))
+
+    if config.adapt is not None and prior is not None:
+        if optimizer is None:
+            optimizer = _default_adam(config.adapt.lr)
+        opt_state = optimizer.init(variables["params"])
+    else:
+        opt_state = None
+
+    orig = jnp.asarray(orig_batch) if orig_batch is not None else None
+    runner = _build_runner(
+        config, prior, demosaic_fn, optimizer, orig_batch is not None
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), t)
+
+    if orig is not None:
+        theta, xhat, trace, out_vars, out_opt = jax.vmap(
+            lambda y_i, x0_i, o_i, k_i: runner(
+                y_i, phi, x0_i, o_i, variables, opt_state, k_i
+            )
+        )(y, x0, orig, keys)
+    else:
+        theta, xhat, trace, out_vars, out_opt = jax.vmap(
+            lambda y_i, x0_i, k_i: runner(
+                y_i, phi, x0_i, None, variables, opt_state, k_i
+            )
+        )(y, x0, keys)
+
+    x_bayer = jax.vmap(bayer.unpack)(theta)
+    if orig is not None:
+        p = jax.vmap(metrics.psnr_per_frame)(orig, x_bayer)
+        s = jax.vmap(metrics.ssim_per_frame)(orig, x_bayer)
+    else:
+        p = s = jnp.zeros(x_bayer.shape[:2], jnp.float32)
+    return ADMMResult(xhat, x_bayer, p, s, trace, out_vars, out_opt)

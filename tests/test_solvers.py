@@ -140,3 +140,33 @@ def test_two_stage_admm_closed_form_demosaic(scene, tiny_ffdnet):
         orig_bayer=scene.orig_bayer,
     )
     assert np.isfinite(np.asarray(res.x_rgb)).all()
+
+
+def test_two_stage_admm_batched(scene, tiny_ffdnet):
+    """Throughput mode: vmap over measurements matches per-measurement runs."""
+    import numpy as np
+
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_batched
+
+    model, variables = tiny_ffdnet
+    prior = ffdnet_prior(model)
+    config = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet")
+
+    y2 = jnp.stack([jnp.asarray(scene.meas)] * 2)
+    orig2 = jnp.stack([jnp.asarray(scene.orig_bayer)] * 2)
+    res = two_stage_admm_batched(
+        y2, scene.mask, config, prior=prior, variables=variables,
+        orig_batch=orig2,
+    )
+    assert res.x_bayer.shape == (2,) + scene.orig_bayer.shape
+    # both batch entries identical inputs -> identical outputs
+    np.testing.assert_allclose(
+        np.asarray(res.x_bayer[0]), np.asarray(res.x_bayer[1]), rtol=1e-6
+    )
+    single = two_stage_admm(
+        scene.meas, scene.mask, config, prior=prior, variables=variables,
+        orig_bayer=scene.orig_bayer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x_bayer[0]), np.asarray(single.x_bayer), rtol=1e-4, atol=1e-6
+    )
