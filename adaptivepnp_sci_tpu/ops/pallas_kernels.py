@@ -37,11 +37,22 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pick_tiles(h: int, w: int) -> tuple[int, int]:
-    """Spatial tile sizes: full rows of 256 lanes when divisible, else whole."""
+_VMEM_BUDGET = 8 * 1024 * 1024  # half of ~16MB VMEM; Pallas double-buffers
+
+
+def _pick_tiles(nb: int, h: int, w: int) -> tuple[int, int]:
+    """Spatial tile sizes fitting the VMEM budget.
+
+    Per (bh, bw) tile the kernel holds 4 cube blocks (theta, b, phi, out) of
+    ``nb*4*bh*bw`` f32 plus 2 plane blocks, each double-buffered by the
+    Pallas pipeline.
+    """
     bw = 256 if w % 256 == 0 else (128 if w % 128 == 0 else w)
-    bh = 64 if h % 64 == 0 else (8 if h % 8 == 0 else h)
-    return bh, bw
+    bytes_per_pixel = (4 * nb * 4 + 2 * 4) * 4 * 2  # cubes + planes, x2 buffers
+    for bh in (64, 32, 16, 8):
+        if h % bh == 0 and bytes_per_pixel * bh * bw <= _VMEM_BUDGET:
+            return bh, bw
+    return (h, bw) if bytes_per_pixel * h * bw <= _VMEM_BUDGET else (8, bw)
 
 
 def _x_update_kernel(theta_ref, b_ref, y_ref, phi_ref, phis_ref, out_ref,
@@ -57,7 +68,7 @@ def _fused_x_update(theta: Array, b: Array, y: Array, phi: Array,
                     phi_s: Array, inv_rho: float, denom_c: float,
                     sign: float, interpret: bool = False) -> Array:
     nb, c, h, w = theta.shape
-    bh, bw = _pick_tiles(h, w)
+    bh, bw = _pick_tiles(nb, h, w)
     grid = (h // bh, w // bw)
 
     cube_spec = pl.BlockSpec(
