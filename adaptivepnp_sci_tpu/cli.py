@@ -104,6 +104,64 @@ def _cmd_reconstruct(args) -> None:
     )
 
 
+def _cmd_train(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adaptivepnp_sci_tpu.train import Trainer, TrainerConfig
+    from adaptivepnp_sci_tpu.train.datasets import (
+        batch_iterator,
+        load_array_dir,
+        synthetic_video_dataset,
+        temporal_chunks,
+    )
+    from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task, ffdnet_task
+
+    length = 1 if args.network == "ffdnet" else 5
+    if args.data:
+        vids = load_array_dir(args.data)
+        import numpy as _np
+
+        clips = _np.concatenate([temporal_chunks(v, length) for v in vids])
+    else:
+        clips = synthetic_video_dataset(256, length=length, size=args.patch,
+                                        seed=args.seed)
+    if args.network == "ffdnet":
+        clips = clips[:, 0]
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.network == "ffdnet":
+        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+
+        model = ffdnet_color()
+        variables = model.init(key, jnp.zeros((1, 32, 32, 3)), jnp.float32(0.1))
+        task = ffdnet_task(model)
+    elif args.network == "fastdvd":
+        from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+
+        model = FastDVDnet()
+        variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
+        task = fastdvd_task(model)
+    else:
+        from adaptivepnp_sci_tpu.models.ddnet import DDnet
+
+        model = DDnet()
+        variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)))
+        task = ddnet_task(model)
+
+    trainer = Trainer(
+        task, variables,
+        TrainerConfig(lr=args.lr, steps_per_epoch=max(len(clips) // args.batch, 1),
+                      ckpt_dir=args.ckpt_dir, seed=args.seed),
+    )
+    if args.resume:
+        trainer.restore(args.resume)
+    trainer.fit(batch_iterator(clips, args.batch, seed=args.seed),
+                max_steps=args.steps)
+    trainer.save(f"{args.ckpt_dir}/final")
+    print(f"trained {args.network} for {trainer.step} steps -> {args.ckpt_dir}/final")
+
+
 def _cmd_synth(args) -> None:
     from adaptivepnp_sci_tpu.data.mat_io import save_results  # noqa: F401
     from adaptivepnp_sci_tpu.data.synthetic import make_scene
@@ -149,6 +207,20 @@ def main(argv=None) -> None:
     r.add_argument("--no-update", action="store_true")
     r.add_argument("--no-reuse-model", action="store_true")
     r.set_defaults(fn=_cmd_reconstruct)
+
+    t = sub.add_parser("train", help="offline denoiser training")
+    t.add_argument("--network", choices=["ffdnet", "fastdvd", "ddnet"],
+                   required=True)
+    t.add_argument("--data", default=None,
+                   help="dir of .npy/.npz clips; default: synthetic clips")
+    t.add_argument("--steps", type=int, default=2000)
+    t.add_argument("--batch", type=int, default=16)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--patch", type=int, default=96)
+    t.add_argument("--ckpt-dir", required=True)
+    t.add_argument("--resume", default=None)
+    t.add_argument("--seed", type=int, default=42)
+    t.set_defaults(fn=_cmd_train)
 
     s = sub.add_parser("synth", help="generate a synthetic CACTI scene")
     s.add_argument("--out", required=True)

@@ -170,3 +170,28 @@ def test_two_stage_admm_batched(scene, tiny_ffdnet):
     np.testing.assert_allclose(
         np.asarray(res.x_bayer[0]), np.asarray(single.x_bayer), rtol=1e-4, atol=1e-6
     )
+
+
+def test_end_to_end_single_dispatch(scene, tiny_ffdnet):
+    from adaptivepnp_sci_tpu.solvers.end_to_end import reconstruct_single_dispatch
+    from adaptivepnp_sci_tpu.solvers.gap_tv import GapTVConfig
+
+    model, variables = tiny_ffdnet
+    prior = ffdnet_prior(model)
+    cfg = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet")
+    res = reconstruct_single_dispatch(
+        scene.meas, scene.mask, GapTVConfig(iters=5), cfg, prior, variables,
+        orig=scene.orig_bayer,
+    )
+    # must match the two-call pipeline
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=5))
+    ref = two_stage_admm(
+        scene.meas, scene.mask, cfg, prior=prior, variables=variables,
+        x0_bayer=warm.x_bayer, orig_bayer=scene.orig_bayer,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x_bayer), np.asarray(ref.x_bayer), rtol=1e-4, atol=1e-6
+    )
+    assert float(res.psnr_per_frame.mean()) == pytest.approx(
+        float(ref.psnr_per_frame.mean()), abs=1e-3
+    )
