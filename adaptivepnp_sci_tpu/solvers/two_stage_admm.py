@@ -293,6 +293,85 @@ def two_stage_admm(
     return ADMMResult(xhat, x_bayer, p, s, trace, variables, opt_state)
 
 
+def two_stage_admm_tiled(
+    y_bayer: Array,
+    phi_bayer: Array,
+    config: ADMMConfig,
+    tile: int = 512,
+    prior: Prior | None = None,
+    variables: Any = None,
+    orig_bayer: Array | None = None,
+    demosaic_fn: Callable | None = None,
+) -> ADMMResult:
+    """Large-scene mode: reconstruct one oversized measurement as a vmap
+    batch of non-overlapping ``tile x tile`` patches, then stitch.
+
+    The SCI x-update is pixel-separable, so tiling is exact for the data
+    term; only the denoiser/demosaicker see tile borders (the reference
+    handles >512px scenes the same way, with host-side patch croppers —
+    ``utils/crop_into_patches.py:5-29``). ``tile`` must be even and divide
+    H and W. The tile axis composes with a ('data',) mesh for multi-chip.
+    """
+    h, w = y_bayer.shape
+    assert h % tile == 0 and w % tile == 0 and tile % 2 == 0, (h, w, tile)
+    y = jnp.asarray(y_bayer, jnp.float32)
+    phi = jnp.asarray(phi_bayer, jnp.float32)
+
+    from adaptivepnp_sci_tpu.ops.patches import crop_patches, stitch_patches
+
+    y_t, grid = crop_patches(y[..., None], tile)            # (N, tile, tile, 1)
+    y_t = y_t[..., 0]
+    phi_t, _ = crop_patches(jnp.moveaxis(phi, 0, -1), tile)  # (N, tile, tile, B)
+    phi_t = jnp.moveaxis(phi_t, -1, 1)                       # (N, B, tile, tile)
+
+    orig = jnp.asarray(orig_bayer) if orig_bayer is not None else None
+    if orig is not None:
+        orig_t, _ = crop_patches(jnp.moveaxis(orig, 0, -1), tile)
+        orig_t = jnp.moveaxis(orig_t, -1, 1)
+
+    optimizer = None
+    opt_state = None
+    if config.adapt is not None and prior is not None:
+        optimizer = _default_adam(config.adapt.lr)
+        opt_state = optimizer.init(variables["params"])
+
+    runner = _build_runner(config, prior, demosaic_fn, optimizer, orig is not None)
+    keys = jax.random.split(jax.random.PRNGKey(0), y_t.shape[0])
+
+    def one(y_i, phi_i, orig_i, key_i):
+        x0 = physics.adjoint(bayer.pack(y_i), bayer.pack(phi_i))
+        return runner(y_i, phi_i, x0, orig_i, variables, opt_state, key_i)
+
+    if orig is not None:
+        theta, xhat, trace, out_vars, out_opt = jax.vmap(one)(
+            y_t, phi_t, orig_t, keys
+        )
+    else:
+        theta, xhat, trace, out_vars, out_opt = jax.vmap(
+            lambda a, b, k: one(a, b, None, k)
+        )(y_t, phi_t, keys)
+
+    x_bayer_t = jax.vmap(bayer.unpack)(theta)  # (N, B, tile, tile)
+    x_bayer = jnp.moveaxis(
+        stitch_patches(jnp.moveaxis(x_bayer_t, 1, -1), grid), -1, 0
+    )
+    nb = phi.shape[0]
+    # stitch RGB: xhat (N, B, tile, tile, 3) -> fold (B, 3) into channels
+    xr = jnp.moveaxis(xhat, 1, -2)            # (N, tile, tile, B, 3)
+    xr = xr.reshape(xhat.shape[0], tile, tile, nb * 3)
+    xr = stitch_patches(xr, grid)             # (H, W, B*3)
+    x_rgb = jnp.moveaxis(xr.reshape(h, w, nb, 3), 2, 0)
+
+    if orig is not None:
+        p = metrics.psnr_per_frame(orig, x_bayer)
+        s = metrics.ssim_per_frame(orig, x_bayer)
+        trace = trace.mean(axis=0)
+    else:
+        p = s = jnp.zeros((nb,), jnp.float32)
+        trace = trace[0] * 0
+    return ADMMResult(x_rgb, x_bayer, p, s, trace, out_vars, out_opt)
+
+
 def two_stage_admm_batched(
     y_batch: Array,
     phi_bayer: Array,
