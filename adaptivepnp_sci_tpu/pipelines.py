@@ -42,6 +42,33 @@ class ReconstructionOutput:
     variables: Any               # final (possibly adapted) denoiser variables
 
 
+def save_adapted_state(path: str, variables: Any, opt_state: Any = None) -> None:
+    """Persist per-scene adapted denoiser weights (orbax), so refined models
+    survive across runs — the durable form of the reference's in-process
+    ``reuse_model`` carry-over."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(path),
+        {"variables": variables, "opt_state": opt_state},
+        force=True,
+    )
+
+
+def load_adapted_state(path: str, like_variables: Any, like_opt_state: Any = None):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(path),
+        item={"variables": like_variables, "opt_state": like_opt_state},
+    )
+    return ckpt["variables"], ckpt["opt_state"]
+
+
 def run_warm_start(
     scene: SceneData, iters: int = WARM_START_ITERS
 ) -> ReconstructionOutput:

@@ -36,6 +36,19 @@ def add_file_handler(path: str) -> None:
     logging.getLogger("adaptivepnp_sci_tpu").addHandler(handler)
 
 
+def git_revision(path: str = ".") -> str:
+    """Current commit hash for run provenance (the reference's logger logs it,
+    ``packages/fastdvdnet/utils.py:324-327``)."""
+    import subprocess
+
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=path, stderr=subprocess.DEVNULL
+        ).decode().strip()
+    except Exception:
+        return "unknown"
+
+
 @contextmanager
 def device_timer(label: str, result_holder: dict | None = None):
     """Wall-clock a device computation; caller must pass arrays to block on

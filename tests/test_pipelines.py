@@ -139,3 +139,25 @@ def test_run_reconstruction_carries_model(tmp_path):
     after = jax.tree_util.tree_leaves(out.variables["params"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(before, after))
+
+
+def test_adapted_state_roundtrip(tmp_path):
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.pipelines import load_adapted_state, save_adapted_state
+
+    model = FFDNet(in_nc=3, out_nc=3, nc=4, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.float32(0.1))
+    path = str(tmp_path / "adapted")
+    save_adapted_state(path, variables)
+    back, _ = load_adapted_state(path, variables)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_git_revision():
+    from adaptivepnp_sci_tpu.utils.logging import git_revision
+
+    rev = git_revision("/root/repo")
+    assert len(rev) == 40 or rev == "unknown"
