@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
+def main(mode: str = "flagship") -> None:
     from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
     from adaptivepnp_sci_tpu.data.synthetic import make_scene
     from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
@@ -59,13 +59,24 @@ def main() -> None:
     prior = ffdnet_prior(model)
 
     warm_cfg = GapTVConfig(iters=40)
-    admm_cfg = ADMMConfig(
-        sigma=(25 / 255, 12 / 255, 6 / 255),
-        iters=(15, 6, 4),
-        denoiser="ffdnet",
-        adapt=AdaptConfig(lr=2e-6, update_per_iter=2, interval_iter=15,
-                          initial_iter=1),
-    )
+    if mode == "warmstart":
+        # BASELINE config 1: GAP-TV warm start only
+        admm_cfg = ADMMConfig(sigma=(0.0,), iters=(1,), denoiser="tv")
+    elif mode == "fixed":
+        # BASELINE config 2: fixed weights, no adaptation
+        admm_cfg = ADMMConfig(
+            sigma=(25 / 255, 12 / 255, 6 / 255), iters=(15, 6, 4),
+            denoiser="ffdnet",
+        )
+    else:
+        # flagship / BASELINE config 4: online-adaptive FFDNet
+        admm_cfg = ADMMConfig(
+            sigma=(25 / 255, 12 / 255, 6 / 255),
+            iters=(15, 6, 4),
+            denoiser="ffdnet",
+            adapt=AdaptConfig(lr=2e-6, update_per_iter=2, interval_iter=15,
+                              initial_iter=1),
+        )
 
     y = jax.device_put(jnp.asarray(scene.meas))
     phi = jax.device_put(jnp.asarray(scene.mask))
@@ -120,4 +131,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else "flagship")
