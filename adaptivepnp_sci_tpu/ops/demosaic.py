@@ -52,22 +52,34 @@ _BILINEAR_RB = np.array([[1, 2, 1], [2, 4, 2], [1, 2, 1]], np.float32) / 4.0
 
 
 def _conv_bank(x: Array, kernels: np.ndarray) -> Array:
-    """Reflect-pad + multi-kernel conv: ``(B, H, W) x (K, kh, kw) -> (K, B, H, W)``."""
+    """Reflect-pad + multi-kernel correlation:
+    ``(B, H, W) x (K, kh, kw) -> (K, B, H, W)``.
+
+    Implemented as shifted-slice multiply-adds on the VPU instead of
+    ``lax.conv``: a single-input-channel 5x5 conv is a degenerate MXU
+    contraction (25-deep) and measured ~20ms/frame-cube on v5e, ~40x slower
+    than these fused elementwise passes. One reflect-padded copy is shared
+    by all kernels; XLA fuses the whole bank into a few passes. Pure fp32 —
+    demosaicking feeds the ADMM state where interpolation error accumulates
+    over the 20-40 iteration chain.
+    """
     k, kh, kw = kernels.shape
     pad = kh // 2
-    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)), mode="reflect")
-    out = jax.lax.conv_general_dilated(
-        xp[:, None].astype(jnp.float32),
-        jnp.asarray(kernels)[:, None],
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        # fp32 accumulation on the MXU: demosaicking feeds the ADMM state,
-        # where bf16 interpolation error (~1e-3) would accumulate over the
-        # 20-40 iteration chain.
-        precision=jax.lax.Precision.HIGHEST,
+    h, w = x.shape[-2:]
+    xp = jnp.pad(
+        x.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad)), mode="reflect"
     )
-    return jnp.moveaxis(out, 1, 0)  # (K, B, H, W)
+    outs = [jnp.zeros_like(x, dtype=jnp.float32) for _ in range(k)]
+    for i in range(kh):
+        for j in range(kw):
+            col = kernels[:, i, j]
+            if not np.any(col):
+                continue
+            window = xp[:, i : i + h, j : j + w]
+            for t in range(k):
+                if col[t] != 0:
+                    outs[t] = outs[t] + float(col[t]) * window
+    return jnp.stack(outs)
 
 
 @functools.partial(jax.jit, static_argnames=("pattern",))
