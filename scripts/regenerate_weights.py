@@ -1,0 +1,63 @@
+"""Regenerate FastDVDnet / DDnet weights (absent from the reference snapshot,
+``/root/reference/.MISSING_LARGE_BLOBS``) by offline training.
+
+Without the DAVIS data the reference trained on (not shipped, zero egress),
+training uses procedurally generated video clips from the same family as the
+synthetic benchmark scenes — weights are distribution-matched to the
+benchmarks here and functional stand-ins elsewhere; the converters accept
+upstream checkpoints whenever real ones are available.
+
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps]
+Saves orbax checkpoints under weights/<name>/final.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from adaptivepnp_sci_tpu.train import Trainer, TrainerConfig
+from adaptivepnp_sci_tpu.train.datasets import batch_iterator, synthetic_video_dataset
+from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
+
+
+def main(network: str, steps: int) -> None:
+    clips = synthetic_video_dataset(512, length=5, size=64, seed=123)
+    key = jax.random.PRNGKey(0)
+    if network == "fastdvd":
+        from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+
+        model = FastDVDnet()
+        variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
+        task = fastdvd_task(model)
+        lr = 1e-3
+    elif network == "ddnet":
+        from adaptivepnp_sci_tpu.models.ddnet import DDnet
+
+        model = DDnet()
+        variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)))
+        task = ddnet_task(model)
+        lr = 1e-3
+    else:
+        raise SystemExit(f"unknown network {network}")
+
+    spe = max(len(clips) // 32, 1)
+    trainer = Trainer(
+        task, variables,
+        TrainerConfig(lr=lr, steps_per_epoch=spe,
+                      milestones=(steps // spe * 2 // 3, steps // spe * 5 // 6),
+                      ckpt_dir=f"weights/{network}", ckpt_every_epochs=10**9,
+                      seed=0),
+    )
+    losses = trainer.fit(batch_iterator(clips, 32, seed=0), max_steps=steps,
+                         log_every=200)
+    trainer.save(f"weights/{network}/final")
+    print(f"{network}: {trainer.step} steps, loss {losses[0]:.5f} -> {losses[-1]:.5f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 3000)
