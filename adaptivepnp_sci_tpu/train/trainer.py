@@ -38,6 +38,7 @@ class TrainerConfig:
     ckpt_every_epochs: int = 10
     seed: int = 42
     mesh: Any = None                          # optional ('data','frame') Mesh
+    tensorboard_dir: str | None = None        # scalar logging (reference: tensorboardX)
 
 
 class Trainer:
@@ -60,6 +61,14 @@ class Trainer:
         self.step = 0
         self._key = jax.random.PRNGKey(config.seed)
         self._jit_step = self._build_step()
+        self._tb = None
+        if config.tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(config.tensorboard_dir)
+            except ImportError:
+                log.warning("tensorboard unavailable; scalar logging disabled")
 
     def _build_step(self):
         task, optimizer = self.task, self.optimizer
@@ -165,10 +174,15 @@ class Trainer:
         for batch in batches:
             loss = self.train_step(batch)
             losses.append(loss)
+            if self._tb:
+                self._tb.add_scalar("train/loss", loss, self.step)
             if self.step % log_every == 0:
                 log.info("step %d epoch %d loss %.6f", self.step, self.epoch, loss)
             if val_every and val_fn and self.step % val_every == 0:
-                log.info("step %d val %.3f", self.step, val_fn(self.variables))
+                val = val_fn(self.variables)
+                if self._tb:
+                    self._tb.add_scalar("val/psnr", val, self.step)
+                log.info("step %d val %.3f", self.step, val)
             if (
                 self.config.ckpt_dir
                 and self.step % (self.config.ckpt_every_epochs
