@@ -110,7 +110,10 @@ class Trainer:
             return sharded
         return step
 
-    def train_step(self, batch: np.ndarray) -> float:
+    def train_step(self, batch: np.ndarray):
+        """One step; returns the loss as a DEVICE array (not synced) — on
+        remote-attached TPUs a per-step host pull costs a full round trip, so
+        steps pipeline and callers convert lazily at log points."""
         self._key, sub = jax.random.split(self._key)
         self.variables, self.opt_state, loss = self._jit_step(
             self.variables, self.opt_state, sub, jnp.asarray(batch)
@@ -126,7 +129,7 @@ class Trainer:
                 **self.variables,
                 "params": svd_orthogonalize(self.variables["params"]),
             }
-        return float(loss)
+        return loss
 
     @property
     def epoch(self) -> int:
@@ -172,11 +175,11 @@ class Trainer:
     ) -> list[float]:
         losses = []
         for batch in batches:
-            loss = self.train_step(batch)
-            losses.append(loss)
-            if self._tb:
-                self._tb.add_scalar("train/loss", loss, self.step)
+            losses.append(self.train_step(batch))  # device arrays; lazy sync
             if self.step % log_every == 0:
+                loss = float(losses[-1])
+                if self._tb:
+                    self._tb.add_scalar("train/loss", loss, self.step)
                 log.info("step %d epoch %d loss %.6f", self.step, self.epoch, loss)
             if val_every and val_fn and self.step % val_every == 0:
                 val = val_fn(self.variables)
@@ -191,7 +194,7 @@ class Trainer:
                 self.save()
             if self.step >= max_steps:
                 break
-        return losses
+        return [float(x) for x in losses]
 
 
 def validation_psnr(model_apply: Callable, variables, noisy, clean) -> float:

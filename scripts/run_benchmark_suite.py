@@ -1,0 +1,199 @@
+"""Run the BASELINE.md benchmark configurations on a synthetic 512x512x8
+scene and write RESULTS.md.
+
+Configs (BASELINE.json):
+  1. GAP-TV warm start
+  2. Two-stage ADMM + FFDNet, fixed weights
+  3. Two-stage ADMM + FastDVDnet (regenerated weights when available)
+  4. Online-adaptive FFDNet (flagship)
+  5. DDnet joint demosaicking + batched multi-measurement throughput
+
+Usage: python scripts/run_benchmark_suite.py [out.md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, n=2):
+    fn()  # compile
+    ts = []
+    out = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        float(jnp.sum(out[0]))  # force completion (scalar host pull)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+def main(out_path: str = "RESULTS.md") -> None:
+    from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+    from adaptivepnp_sci_tpu.models.convert import load_ffdnet
+    from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+    from adaptivepnp_sci_tpu.ops import metrics
+    from adaptivepnp_sci_tpu.solvers import GapTVConfig, gap_tv
+    from adaptivepnp_sci_tpu.solvers.end_to_end import reconstruct_single_dispatch
+    from adaptivepnp_sci_tpu.solvers.gap_tv import GapTVConfig
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+        ADMMConfig,
+        two_stage_admm_batched,
+    )
+
+    b, h, w = 8, 512, 512
+    scene = make_scene(b=b, h=h, w=w, seed=42)
+    y = jax.device_put(jnp.asarray(scene.meas))
+    phi = jax.device_put(jnp.asarray(scene.mask))
+    orig = jax.device_put(jnp.asarray(scene.orig_bayer))
+
+    rows = []
+
+    # 1. GAP-TV warm start
+    wcfg = GapTVConfig(iters=40)
+    t, _ = timed(lambda: (gap_tv(y, phi, wcfg).x_bayer,))
+    res = gap_tv(y, phi, wcfg, orig_bayer=orig)
+    rows.append(("1. GAP-TV warm start (40 it)", t,
+                 float(res.psnr_per_frame.mean()),
+                 float(res.ssim_per_frame.mean())))
+
+    model = ffdnet_color()
+    variables = jax.device_put(
+        load_ffdnet("/root/reference/model_zoo/ffdnet_color.pth"))
+    prior = ffdnet_prior(model)
+
+    # 2. fixed-weight FFDNet
+    cfg2 = ADMMConfig(sigma=(25 / 255, 12 / 255, 6 / 255), iters=(15, 6, 4),
+                      denoiser="ffdnet")
+    f2 = lambda: (reconstruct_single_dispatch(  # noqa: E731
+        y, phi, wcfg, cfg2, prior, variables, orig=orig).x_bayer,)
+    t, _ = timed(f2)
+    r = reconstruct_single_dispatch(y, phi, wcfg, cfg2, prior, variables, orig=orig)
+    rows.append(("2. two-stage ADMM + FFDNet (fixed)", t,
+                 float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
+
+    # 3. FastDVDnet (regenerated weights if present)
+    fdvd_path = "weights/fastdvd/final"
+    if os.path.exists(fdvd_path):
+        from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+        from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+
+        fmodel = FastDVDnet()
+        fvars0 = fmodel.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(fdvd_path),
+            item={"variables": fvars0, "opt_state": None, "step": 0},
+        )
+        fvars = jax.device_put(ckpt["variables"])
+        fprior = fastdvd_prior(fmodel)
+        cfg3 = ADMMConfig(sigma=(12 / 255, 6 / 255), iters=(24, 12),
+                          denoiser="fastdvd")
+        f3 = lambda: (reconstruct_single_dispatch(  # noqa: E731
+            y, phi, wcfg, cfg3, fprior, fvars, orig=orig).x_bayer,)
+        t, _ = timed(f3)
+        r = reconstruct_single_dispatch(y, phi, wcfg, cfg3, fprior, fvars, orig=orig)
+        rows.append(("3. two-stage ADMM + FastDVDnet (regenerated wts)", t,
+                     float(r.psnr_per_frame.mean()),
+                     float(r.ssim_per_frame.mean())))
+    else:
+        rows.append(("3. two-stage ADMM + FastDVDnet", float("nan"),
+                     float("nan"), float("nan")))
+
+    # 4. online-adaptive FFDNet (flagship)
+    cfg4 = ADMMConfig(
+        sigma=(25 / 255, 12 / 255, 6 / 255), iters=(15, 6, 4), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=2e-6, update_per_iter=2, interval_iter=15,
+                          initial_iter=1),
+    )
+    f4 = lambda: (reconstruct_single_dispatch(  # noqa: E731
+        y, phi, wcfg, cfg4, prior, variables, orig=orig).x_bayer,)
+    t, _ = timed(f4)
+    r = reconstruct_single_dispatch(y, phi, wcfg, cfg4, prior, variables, orig=orig)
+    rows.append(("4. online-adaptive FFDNet (flagship)", t,
+                 float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
+
+    # 5. DDnet joint demosaicking (regenerated weights if present) + batched
+    dd_path = "weights/ddnet/final"
+    if os.path.exists(dd_path):
+        from adaptivepnp_sci_tpu.models.ddnet import DDnet
+        from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
+        import orbax.checkpoint as ocp
+
+        dd = DDnet()
+        dvars0 = dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 32, 32, 3)))
+        ckpt = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(dd_path),
+            item={"variables": dvars0, "opt_state": None, "step": 0},
+        )
+        dvars = jax.device_put(ckpt["variables"])
+        dm = ddnet_demosaic(dd, dvars)
+        cfg5 = ADMMConfig(sigma=(25 / 255, 12 / 255, 6 / 255), iters=(6, 6, 4),
+                          denoiser="ffdnet", demosaic_method="ddnet")
+        f5 = lambda: (reconstruct_single_dispatch(  # noqa: E731
+            y, phi, wcfg, cfg5, prior, variables, orig=orig,
+            demosaic_fn=dm).x_bayer,)
+        t, _ = timed(f5)
+        r = reconstruct_single_dispatch(y, phi, wcfg, cfg5, prior, variables,
+                                        orig=orig, demosaic_fn=dm)
+        rows.append(("5a. FFDNet + DDnet joint demosaicking", t,
+                     float(r.psnr_per_frame.mean()),
+                     float(r.ssim_per_frame.mean())))
+    else:
+        rows.append(("5a. FFDNet + DDnet joint demosaicking", float("nan"),
+                     float("nan"), float("nan")))
+
+    # 5b. batched throughput (4 snapshots, Malvar demosaic)
+    scene4 = make_scene(b=b, h=h, w=w, seed=43, n_meas=4)
+    y4 = jax.device_put(jnp.asarray(scene4.meas.transpose(2, 0, 1)))
+    orig4 = jax.device_put(jnp.asarray(scene4.orig_bayer))
+    phi4 = jax.device_put(jnp.asarray(scene4.mask))
+    f5b = lambda: (two_stage_admm_batched(  # noqa: E731
+        y4, phi4, cfg2, prior=prior, variables=variables,
+        orig_batch=orig4).x_bayer,)
+    t, _ = timed(f5b)
+    r = two_stage_admm_batched(y4, phi4, cfg2, prior=prior, variables=variables,
+                               orig_batch=orig4)
+    rows.append((f"5b. batched x4 throughput ({4*b} frames)", t,
+                 float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
+
+    dev = str(jax.devices()[0])
+    lines = [
+        "# RESULTS — benchmark suite (synthetic 512x512x8 Bayer scene)",
+        "",
+        f"Device: {dev}. Times are best-of-2 steady state (compile excluded),",
+        "completion forced by scalar host reads. North-star budget: 10 s per",
+        "snapshot (BASELINE.md).",
+        "",
+        "| config | s/run | frames/s | PSNR (dB) | SSIM |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t, p, s in rows:
+        frames = 4 * b if name.startswith("5b") else b
+        fps = frames / t if t == t and t > 0 else float("nan")
+        lines.append(f"| {name} | {t:.3f} | {fps:.1f} | {p:.2f} | {s:.4f} |")
+    text = "\n".join(lines) + "\n"
+    with open(out_path, "w") as f:
+        f.write(text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "RESULTS.md")
