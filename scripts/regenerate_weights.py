@@ -26,7 +26,11 @@ from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
 
 
 def main(network: str, steps: int) -> None:
-    clips = synthetic_video_dataset(512, length=5, size=64, seed=123)
+    # resident on device: per-step batch gathers stay on-chip instead of
+    # re-uploading ~8MB over the (possibly remote) host link every step
+    clips = jax.device_put(jnp.asarray(
+        synthetic_video_dataset(512, length=5, size=64, seed=123)
+    ))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
         from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
