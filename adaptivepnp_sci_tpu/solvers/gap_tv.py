@@ -53,14 +53,16 @@ def _gap_tv_packed(
         pallas_kernels.on_tpu() if config.use_pallas is None else config.use_pallas
     )
     x_update = pallas_kernels.gap_x_update if use_pallas else physics.gap_x_update
+    tv_prox = (
+        pallas_kernels.tv_chambolle_fused if use_pallas
+        else tv.tv_chambolle_multichannel
+    )
 
     def step(carry, _):
         x, theta, b = carry
         x = x_update(theta, b, y, phi, phi_s, config.lam, config.gamma)
         xb = x - b
-        theta = tv.tv_chambolle_multichannel(
-            xb, weight=config.tv_weight, max_iter=config.tv_iters
-        )
+        theta = tv_prox(xb, weight=config.tv_weight, max_iter=config.tv_iters)
         theta = jnp.clip(theta, 0.0, 1.0)
         b = b - (x - theta)
         trace = (

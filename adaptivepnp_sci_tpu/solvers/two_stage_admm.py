@@ -121,6 +121,10 @@ def _build_runner(
         x_update = (
             pallas_kernels.admm_x_update if use_pallas else physics.admm_x_update
         )
+        tv_prox = (
+            pallas_kernels.tv_chambolle_fused if use_pallas
+            else tv.tv_chambolle_multichannel
+        )
 
         cfa = jnp.asarray(bayer.cfa_masks((h, w)), jnp.float32)
 
@@ -147,9 +151,8 @@ def _build_runner(
                 _sigma, _flag, _k = inp
                 x = x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
                 xb = x + b / rho
-                theta = tv.tv_chambolle_multichannel(
-                    xb, weight=config.tv_weight, max_iter=config.tv_iters
-                )
+                theta = tv_prox(xb, weight=config.tv_weight,
+                                max_iter=config.tv_iters)
                 theta = jnp.clip(theta, 0.0, 1.0)
                 b = b + (x - theta)
                 return (x, theta, b), trace_psnr(theta)

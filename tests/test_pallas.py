@@ -53,3 +53,13 @@ def test_gap_lam_fallback(rng):
     want = physics.gap_x_update(theta, b, y, phi, phis, 0.5, 0.01)
     got = pallas_kernels.gap_x_update(theta, b, y, phi, phis, 0.5, 0.01)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_fused_tv_matches_jnp(rng):
+    from adaptivepnp_sci_tpu.ops import tv
+
+    x = jnp.asarray(rng.random((2, 4, 24, 24), dtype=np.float32))
+    want = tv.tv_chambolle_multichannel(x, 0.1, max_iter=5)
+    got = pallas_kernels.tv_chambolle_fused(x, 0.1, max_iter=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
