@@ -105,3 +105,11 @@ def test_solver_with_sharded_fastdvd_prior(fdvd):
         orig_bayer=scene.orig_bayer,
     )
     assert np.isfinite(np.asarray(res.x_rgb)).all()
+
+
+def test_global_mesh_single_process():
+    from adaptivepnp_sci_tpu.parallel.distributed import global_mesh
+
+    mesh = global_mesh(frame=4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("data", "frame")
