@@ -12,7 +12,6 @@ workflows are subcommands:
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

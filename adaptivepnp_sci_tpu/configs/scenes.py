@@ -10,7 +10,7 @@ variant. sigma values are /255.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
 from adaptivepnp_sci_tpu.solvers.two_stage_admm import ADMMConfig

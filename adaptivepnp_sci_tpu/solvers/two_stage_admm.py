@@ -25,7 +25,7 @@ weights across measurements (``two_stage_ADMM_Online_FFD_Warm.py:270-275``).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, NamedTuple
 
 import jax
