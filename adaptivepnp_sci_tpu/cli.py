@@ -90,6 +90,7 @@ def _cmd_reconstruct(args) -> None:
         update=not args.no_update,
         reuse_model=not args.no_reuse_model,
         warm_start=warm,
+        demosaic_fn=demosaic_fn,
     )
     if args.out:
         save_results(
