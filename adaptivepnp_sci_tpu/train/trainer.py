@@ -197,6 +197,15 @@ class Trainer:
         return [float(x) for x in losses]
 
 
+def load_checkpoint_variables(path: str):
+    """Restore just the model variables from a Trainer checkpoint without
+    needing the matching opt-state structure (inference-time loading)."""
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    return raw["variables"]
+
+
 def validation_psnr(model_apply: Callable, variables, noisy, clean) -> float:
     out = model_apply(variables, noisy)
     return float(psnr(jnp.asarray(clean), jnp.clip(out, 0, 1)))

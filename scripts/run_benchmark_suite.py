@@ -93,16 +93,10 @@ def main(out_path: str = "RESULTS.md") -> None:
         from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
         from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
 
-        fmodel = FastDVDnet()
-        fvars0 = fmodel.init(jax.random.PRNGKey(0),
-                             jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
-        import orbax.checkpoint as ocp
+        from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
 
-        ckpt = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(fdvd_path),
-            item={"variables": fvars0, "opt_state": None, "step": 0},
-        )
-        fvars = jax.device_put(ckpt["variables"])
+        fmodel = FastDVDnet()
+        fvars = jax.device_put(load_checkpoint_variables(fdvd_path))
         fprior = fastdvd_prior(fmodel)
         cfg3 = ADMMConfig(sigma=(12 / 255, 6 / 255), iters=(24, 12),
                           denoiser="fastdvd")
@@ -135,15 +129,10 @@ def main(out_path: str = "RESULTS.md") -> None:
     if os.path.exists(dd_path):
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
-        import orbax.checkpoint as ocp
+        from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
 
         dd = DDnet()
-        dvars0 = dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 32, 32, 3)))
-        ckpt = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(dd_path),
-            item={"variables": dvars0, "opt_state": None, "step": 0},
-        )
-        dvars = jax.device_put(ckpt["variables"])
+        dvars = jax.device_put(load_checkpoint_variables(dd_path))
         dm = ddnet_demosaic(dd, dvars)
         cfg5 = ADMMConfig(sigma=(25 / 255, 12 / 255, 6 / 255), iters=(6, 6, 4),
                           denoiser="ffdnet", demosaic_method="ddnet")
