@@ -46,15 +46,33 @@ def ffdnet_task(model, sigma_range: tuple[float, float] = (0.0, 75 / 255)) -> Tr
 
 
 def fastdvd_task(
-    model, sigma_range: tuple[float, float] = (5 / 255, 55 / 255)
+    model,
+    sigma_range: tuple[float, float] = (5 / 255, 55 / 255),
+    demosaic_aug: bool = False,
 ) -> TrainTask:
+    """``demosaic_aug`` passes half the inputs through mosaic->Malvar before
+    noising: inside the PnP solver the denoiser sees demosaicked ADMM
+    iterates, not clean RGB, and a net trained only on clean inputs
+    extrapolates badly on that distribution (dual drift blows up)."""
+
     def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         clips = augment_batch(k1, clips)
+        net_in = clips
+        if demosaic_aug:
+            from adaptivepnp_sci_tpu.ops import bayer as _bayer
+            from adaptivepnp_sci_tpu.ops.demosaic import malvar2004
+
+            n, f, h, w, _ = clips.shape
+            dm = malvar2004(
+                _bayer.mosaic(clips.reshape(n * f, h, w, 3))
+            ).reshape(clips.shape)
+            use_dm = jax.random.bernoulli(k4, 0.5, (n, 1, 1, 1, 1))
+            net_in = jnp.where(use_dm, dm, clips)
         sigma = jax.random.uniform(
             k2, (clips.shape[0],), minval=sigma_range[0], maxval=sigma_range[1]
         )
-        noisy = add_gaussian_noise(k3, clips, sigma)
+        noisy = add_gaussian_noise(k3, net_in, sigma)
         out, mutated = model.apply(
             variables, noisy, sigma, train=True, mutable=["batch_stats"]
         )

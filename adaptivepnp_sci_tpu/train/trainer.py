@@ -197,9 +197,40 @@ class Trainer:
         return [float(x) for x in losses]
 
 
+def save_variables_npz(path: str, variables) -> None:
+    """Portable inference checkpoint: flatten the variables pytree into one
+    ``.npz`` ('/'-joined keys). Topology/sharding-independent, unlike raw
+    orbax trees, and a single reviewable artifact."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", variables)
+    np.savez(path, **flat)
+
+
+def load_variables_npz(path: str) -> dict:
+    tree: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            parts = key.split("/")
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return tree
+
+
 def load_checkpoint_variables(path: str):
-    """Restore just the model variables from a Trainer checkpoint without
-    needing the matching opt-state structure (inference-time loading)."""
+    """Restore just the model variables from a Trainer checkpoint (orbax
+    directory or ``.npz``) for inference."""
+    if path.endswith(".npz"):
+        return load_variables_npz(path)
     import orbax.checkpoint as ocp
 
     raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))

@@ -37,7 +37,7 @@ def main(network: str, steps: int) -> None:
 
         model = FastDVDnet()
         variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
-        task = fastdvd_task(model)
+        task = fastdvd_task(model, demosaic_aug=True)
         lr = 1e-3
     elif network == "ddnet":
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
