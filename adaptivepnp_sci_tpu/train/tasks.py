@@ -69,10 +69,20 @@ def fastdvd_task(
             ).reshape(clips.shape)
             use_dm = jax.random.bernoulli(k4, 0.5, (n, 1, 1, 1, 1))
             net_in = jnp.where(use_dm, dm, clips)
+        k5, k6 = jax.random.split(k2)
         sigma = jax.random.uniform(
-            k2, (clips.shape[0],), minval=sigma_range[0], maxval=sigma_range[1]
+            k5, (clips.shape[0],), minval=sigma_range[0], maxval=sigma_range[1]
         )
-        noisy = add_gaussian_noise(k3, net_in, sigma)
+        # mismatched-sigma robustness: inside the PnP loop the input is
+        # already partially denoised, so the actual noise is BELOW the
+        # conditioning sigma; train half the batch that way or the net turns
+        # expansive at low sigma and the ADMM iteration diverges
+        frac = jnp.where(
+            jax.random.bernoulli(k6, 0.5, (clips.shape[0],)),
+            1.0,
+            jax.random.uniform(k6, (clips.shape[0],)),
+        )
+        noisy = add_gaussian_noise(k3, net_in, sigma * frac)
         out, mutated = model.apply(
             variables, noisy, sigma, train=True, mutable=["batch_stats"]
         )
