@@ -79,7 +79,13 @@ def measurement_loss_fn(
     y_full: Array,
     phi_full: Array,
 ) -> Callable[[Any], Array]:
-    """Build the self-supervised loss closure for one adaptation trigger."""
+    """Build the self-supervised loss closure for one adaptation trigger.
+
+    Activation memory of the backward pass is bounded by per-block
+    rematerialization inside the networks themselves (``nn.remat`` in
+    FastDVDnet/DDnet): an 8-window video denoiser at 512² stores ~25GB of
+    activations unremat'd, far beyond one chip's HBM.
+    """
 
     if prior.loss_mode == "packed4":
 

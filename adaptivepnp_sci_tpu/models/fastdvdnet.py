@@ -145,10 +145,14 @@ class FastDVDnet(nn.Module):
         )
         f = [windows[:, i] for i in range(nf)]
 
-        temp1 = DenBlock(self.num_color_channels, train=train, name="temp1")
+        # per-block remat: bounds backward-pass activation memory to one
+        # DenBlock (online adaptation differentiates through 8 windows at
+        # full resolution — unremat'd that is ~25GB of activations)
+        Block = nn.remat(DenBlock, static_argnums=())
+        temp1 = Block(self.num_color_channels, train=train, name="temp1")
         x20 = temp1(f[0], f[1], f[2], noise_map)
         x21 = temp1(f[1], f[2], f[3], noise_map)
         x22 = temp1(f[2], f[3], f[4], noise_map)
 
-        temp2 = DenBlock(self.num_color_channels, train=train, name="temp2")
+        temp2 = Block(self.num_color_channels, train=train, name="temp2")
         return temp2(x20, x21, x22, noise_map)
