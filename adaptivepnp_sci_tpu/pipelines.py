@@ -106,12 +106,30 @@ def run_reconstruction(
     warm_start: np.ndarray | None = None,   # (T, B, H, W)
     demosaic_fn: Callable | None = None,
     config=None,
+    dm_model=None,
+    dm_variables: Any = None,
+    dm_update: bool = False,
+    dm_lr: float = 1e-6,
+    dm_update_per_iter: int = 1,
 ) -> ReconstructionOutput:
-    """Two-stage online-adaptive reconstruction over all measurements."""
+    """Two-stage online-adaptive reconstruction over all measurements.
+
+    With ``dm_update`` (the reference's dormant ``args.dm_update`` option),
+    the DDnet demosaicker is self-consistency-adapted per measurement on the
+    current Bayer estimate and the refined weights carry forward.
+    """
     if config is None:
         config = admm_config_for(scene.name, denoiser, deep_demosaicking, update)
     initial_variables = variables
     opt_state = None
+
+    dm_adapt = dm_opt = None
+    if dm_update and dm_model is not None:
+        from adaptivepnp_sci_tpu.adapt.ddnet_online import make_dm_adapt_fn
+        from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
+
+        dm_adapt = make_dm_adapt_fn(dm_model, dm_lr, dm_update_per_iter)
+        dm_opt = dm_adapt.init_opt(dm_variables)
     outs, rgbs, psnrs, ssims, traces, times = [], [], [], [], [], []
     for t in range(scene.n_meas):
         if not reuse_model:
@@ -119,6 +137,16 @@ def run_reconstruction(
         t0 = time.perf_counter()
         orig = scene.orig_bayer[t] if scene.orig_bayer is not None else None
         x0 = warm_start[t] if warm_start is not None else None
+        if dm_adapt is not None:
+            from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
+
+            est = x0 if x0 is not None else scene.meas[t][None].repeat(
+                scene.n_frames, 0) / max(scene.n_frames / 2, 1)
+            dm_variables, dm_opt, dm_loss = dm_adapt(
+                dm_variables, dm_opt, jnp.asarray(est, jnp.float32)
+            )
+            demosaic_fn = ddnet_demosaic(dm_model, dm_variables)
+            log.info("dm adaptation loss %.6f", float(dm_loss))
         res = two_stage_admm(
             scene.meas[t], scene.mask, config,
             prior=prior, variables=variables, x0_bayer=x0,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -93,12 +94,31 @@ def ddnet_demosaic(model, variables, window: int = 5):
     return apply
 
 
-def fastdvd_prior(model, window: int = 5) -> Prior:
-    """FastDVDnet temporal prior: all B circular 5-frame windows in one batch."""
+def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None) -> Prior:
+    """FastDVDnet temporal prior over circular 5-frame windows.
+
+    ``window_chunk=None`` batches all B windows in one model call (best MXU
+    utilization at small/medium resolution). At 512² the activations of 8
+    simultaneous U-Net windows exceed one chip's HBM, so ``window_chunk=k``
+    processes windows in sequential groups of k via ``lax.scan`` — peak
+    memory becomes one group's activations, like the reference's per-frame
+    loop but still batched k-wide.
+    """
 
     def apply(params, rgb: Array, sigma: Array) -> Array:
-        idx = window_indices(rgb.shape[0], window)
+        b = rgb.shape[0]
+        idx = window_indices(b, window)
         windows = rgb[idx]  # (B, window, H, W, 3)
-        return model.apply(params, windows, sigma)
+        if window_chunk is None or window_chunk >= b:
+            return model.apply(params, windows, sigma)
+        assert b % window_chunk == 0, (b, window_chunk)
+        grouped = windows.reshape((b // window_chunk, window_chunk)
+                                  + windows.shape[1:])
+
+        def one(_, grp):
+            return None, model.apply(params, grp, sigma)
+
+        _, outs = jax.lax.scan(one, None, grouped)
+        return outs.reshape((b,) + rgb.shape[1:])
 
     return Prior("fastdvd", apply, loss_mode="bayer1", adapt_noise_std=5.0 / 255.0)
