@@ -117,7 +117,9 @@ def run_reconstruction(
 
     With ``dm_update`` (the reference's dormant ``args.dm_update`` option),
     the DDnet demosaicker is self-consistency-adapted per measurement on the
-    current Bayer estimate and the refined weights carry forward.
+    current Bayer estimate and the refined weights carry forward. Note: each
+    adapted demosaicker is a fresh closure, so the solver re-traces per
+    measurement in this mode — acceptable for the rarely-used option.
     """
     if config is None:
         config = admm_config_for(scene.name, denoiser, deep_demosaicking, update)
