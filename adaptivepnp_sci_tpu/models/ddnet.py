@@ -160,17 +160,27 @@ class DDnet(nn.Module):
             for i in range(nf)
         ]
 
+        # no BatchNorm anywhere: shared-weight triplet calls fold into ONE
+        # batched call per block (identical math, 3x fewer conv launches)
+        def cat(xs):
+            return jnp.concatenate(xs, axis=0)
+
         temp1 = DenBlock(out_ch=3, name="temp1")
-        x20 = temp1(ones[0] * a[0, 0, 0], ones[1] * a[1, 0, 0], ones[2] * a[2, 0, 0])
-        x21 = temp1(ones[1] * a[3, 0, 0], ones[2] * a[4, 0, 0], ones[3] * a[5, 0, 0])
-        x22 = temp1(ones[2] * a[6, 0, 0], ones[3] * a[7, 0, 0], ones[4] * a[8, 0, 0])
+        x2 = temp1(
+            cat([ones[0] * a[0, 0, 0], ones[1] * a[3, 0, 0], ones[2] * a[6, 0, 0]]),
+            cat([ones[1] * a[1, 0, 0], ones[2] * a[4, 0, 0], ones[3] * a[7, 0, 0]]),
+            cat([ones[2] * a[2, 0, 0], ones[3] * a[5, 0, 0], ones[4] * a[8, 0, 0]]),
+        )
+        x20, x21, x22 = x2[:n], x2[n : 2 * n], x2[2 * n :]
 
         temp11 = DenBlock4ChBayer(name="temp11")
-        y20 = temp11(fours[0] * a2_n[0], fours[1] * a2_n[1], fours[2] * a2_n[2])
-        y21 = temp11(fours[1] * a2_n[3], fours[2] * a2_n[4], fours[3] * a2_n[5])
-        y22 = temp11(fours[2] * a2_n[6], fours[3] * a2_n[7], fours[4] * a2_n[8])
+        y2 = temp11(
+            cat([fours[0] * a2_n[0], fours[1] * a2_n[3], fours[2] * a2_n[6]]),
+            cat([fours[1] * a2_n[1], fours[2] * a2_n[4], fours[3] * a2_n[7]]),
+            cat([fours[2] * a2_n[2], fours[3] * a2_n[5], fours[4] * a2_n[8]]),
+        )
+        y20, y21, y22 = y2[:n], y2[n : 2 * n], y2[2 * n :]
 
         temp2 = DenBlock(out_ch=3, name="temp2")
-        out1 = temp2(x20, x21, x22)
-        out2 = temp2(y20, y21, y22)
-        return a3_n[0] * out1 + a3_n[1] * out2
+        out = temp2(cat([x20, y20]), cat([x21, y21]), cat([x22, y22]))
+        return a3_n[0] * out[:n] + a3_n[1] * out[n:]

@@ -150,9 +150,22 @@ class FastDVDnet(nn.Module):
         # full resolution — unremat'd that is ~25GB of activations)
         Block = nn.remat(DenBlock, static_argnums=())
         temp1 = Block(self.num_color_channels, train=train, name="temp1")
-        x20 = temp1(f[0], f[1], f[2], noise_map)
-        x21 = temp1(f[1], f[2], f[3], noise_map)
-        x22 = temp1(f[2], f[3], f[4], noise_map)
-
         temp2 = Block(self.num_color_channels, train=train, name="temp2")
+
+        if train:
+            # train-mode BatchNorm statistics must be computed per call
+            # (reference parity); keep the three triplets separate
+            x20 = temp1(f[0], f[1], f[2], noise_map)
+            x21 = temp1(f[1], f[2], f[3], noise_map)
+            x22 = temp1(f[2], f[3], f[4], noise_map)
+            return temp2(x20, x21, x22, noise_map)
+
+        # eval: the three shared-weight triplet calls fold into ONE batched
+        # call (3N) — identical math with frozen BN, 3x fewer conv launches
+        in0 = jnp.concatenate([f[0], f[1], f[2]], axis=0)
+        in1 = jnp.concatenate([f[1], f[2], f[3]], axis=0)
+        in2 = jnp.concatenate([f[2], f[3], f[4]], axis=0)
+        nm3 = jnp.concatenate([noise_map] * 3, axis=0)
+        x2 = temp1(in0, in1, in2, nm3)
+        x20, x21, x22 = x2[:n], x2[n : 2 * n], x2[2 * n :]
         return temp2(x20, x21, x22, noise_map)
