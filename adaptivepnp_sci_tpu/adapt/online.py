@@ -82,22 +82,24 @@ def measurement_loss_fn(
     """Build the self-supervised loss closure for one adaptation trigger.
 
     Activation memory of the backward pass is bounded by per-block
-    rematerialization inside the networks themselves (``nn.remat`` in
-    FastDVDnet/DDnet): an 8-window video denoiser at 512² stores ~25GB of
-    activations unremat'd, far beyond one chip's HBM.
+    rematerialization inside the networks (``nn.remat``) plus the prior's
+    optional ``apply_adapt`` variant (sequential window groups) — an
+    8-window video denoiser at 512² stores ~25GB of activations unremat'd,
+    far beyond one chip's HBM.
     """
+    apply = prior.apply_adapt if getattr(prior, "apply_adapt", None) else prior.apply
 
     if prior.loss_mode == "packed4":
 
         def loss(params):
-            xhat = prior.apply(params, rgb_in, sigma)
+            xhat = apply(params, rgb_in, sigma)
             pred = physics.forward(bayer.rggb_subsample(xhat), phi_packed)
             return jnp.mean((pred - y_packed) ** 2)
 
     else:  # 'bayer1'
 
         def loss(params):
-            xhat = prior.apply(params, rgb_in, sigma)
+            xhat = apply(params, rgb_in, sigma)
             pred = physics.forward(bayer.mosaic(xhat), phi_full)
             return jnp.mean((pred - y_full) ** 2)
 

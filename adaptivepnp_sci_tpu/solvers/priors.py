@@ -35,6 +35,9 @@ class Prior(NamedTuple):
     apply: Callable[[Any, Array, Array], Array]
     loss_mode: str = "packed4"
     adapt_noise_std: float = 0.0
+    #: optional memory-bounded variant used inside the adaptation gradient
+    #: (None = same as ``apply``)
+    apply_adapt: Callable[[Any, Array, Array], Array] | None = None
 
 
 def ffdnet_prior(model) -> Prior:
@@ -105,13 +108,16 @@ def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None) -> Pr
     loop but still batched k-wide.
     """
 
-    def apply(params, rgb: Array, sigma: Array) -> Array:
+    def apply_batched(params, rgb: Array, sigma: Array) -> Array:
+        idx = window_indices(rgb.shape[0], window)
+        return model.apply(params, rgb[idx], sigma)
+
+    def apply_chunked(params, rgb: Array, sigma: Array) -> Array:
         b = rgb.shape[0]
-        idx = window_indices(b, window)
-        windows = rgb[idx]  # (B, window, H, W, 3)
         if window_chunk is None or window_chunk >= b:
-            return model.apply(params, windows, sigma)
+            return apply_batched(params, rgb, sigma)
         assert b % window_chunk == 0, (b, window_chunk)
+        windows = rgb[window_indices(b, window)]
         grouped = windows.reshape((b // window_chunk, window_chunk)
                                   + windows.shape[1:])
 
@@ -121,4 +127,8 @@ def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None) -> Pr
         _, outs = jax.lax.scan(one, None, grouped)
         return outs.reshape((b,) + rgb.shape[1:])
 
-    return Prior("fastdvd", apply, loss_mode="bayer1", adapt_noise_std=5.0 / 255.0)
+    # full batch for plain denoising (transient activations, fastest);
+    # sequential groups only inside the adaptation gradient, where stored
+    # residuals of 8 simultaneous windows would exceed HBM
+    return Prior("fastdvd", apply_batched, loss_mode="bayer1",
+                 adapt_noise_std=5.0 / 255.0, apply_adapt=apply_chunked)
