@@ -162,6 +162,55 @@ def _cmd_train(args) -> None:
     print(f"trained {args.network} for {trainer.step} steps -> {args.ckpt_dir}/final")
 
 
+def _cmd_denoise(args) -> None:
+    """Standalone denoiser test (the reference's per-denoiser test scripts,
+    ``packages/ffdnet/test_ffdnet_ipol.py:559-692`` /
+    ``packages/fastdvdnet/test_fastdvdnet.py:51-147``): load clean data, add
+    gaussian noise at --sigma, denoise, report PSNR."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptivepnp_sci_tpu.ops import metrics
+
+    rng = np.random.default_rng(args.seed)
+    if args.data:
+        clean = np.load(args.data).astype(np.float32)
+        if clean.max() > 2.0:
+            clean = clean / 255.0
+    else:
+        from adaptivepnp_sci_tpu.train.datasets import synthetic_video_dataset
+
+        clean = synthetic_video_dataset(1, length=8, size=args.size,
+                                        seed=args.seed)[0]
+    sigma = args.sigma / 255.0
+    noisy = np.clip(clean + rng.normal(0, sigma, clean.shape), 0, 1).astype(
+        np.float32
+    )
+
+    if args.network == "ffdnet":
+        from adaptivepnp_sci_tpu.models.convert import load_ffdnet
+        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+
+        model = ffdnet_color()
+        variables = load_ffdnet(args.ckpt)
+        out = model.apply(variables, jnp.asarray(noisy), jnp.float32(sigma))
+    else:
+        from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+        from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+        from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
+
+        variables = load_checkpoint_variables(args.ckpt)
+        out = fastdvd_prior(FastDVDnet()).apply(
+            variables, jnp.asarray(noisy), jnp.float32(sigma)
+        )
+    out = jnp.clip(out, 0, 1)
+    p_in = float(metrics.psnr(jnp.asarray(clean), jnp.asarray(noisy)))
+    p_out = float(metrics.psnr(jnp.asarray(clean), out))
+    print(f"sigma {args.sigma}: noisy {p_in:.2f} dB -> denoised {p_out:.2f} dB")
+    if args.out:
+        np.save(args.out, np.asarray(out))
+
+
 def _cmd_synth(args) -> None:
     from adaptivepnp_sci_tpu.data.mat_io import save_results  # noqa: F401
     from adaptivepnp_sci_tpu.data.synthetic import make_scene
@@ -207,6 +256,16 @@ def main(argv=None) -> None:
     r.add_argument("--no-update", action="store_true")
     r.add_argument("--no-reuse-model", action="store_true")
     r.set_defaults(fn=_cmd_reconstruct)
+
+    d = sub.add_parser("denoise", help="standalone denoiser test")
+    d.add_argument("--network", choices=["ffdnet", "fastdvd"], default="ffdnet")
+    d.add_argument("--ckpt", required=True)
+    d.add_argument("--data", default=None, help=".npy clean frames; default synthetic")
+    d.add_argument("--sigma", type=float, default=25.0)
+    d.add_argument("--size", type=int, default=128)
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--out", default=None)
+    d.set_defaults(fn=_cmd_denoise)
 
     t = sub.add_parser("train", help="offline denoiser training")
     t.add_argument("--network", choices=["ffdnet", "fastdvd", "ddnet"],
