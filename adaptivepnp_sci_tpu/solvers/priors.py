@@ -97,38 +97,39 @@ def ddnet_demosaic(model, variables, window: int = 5):
     return apply
 
 
-def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None) -> Prior:
+def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None,
+                  adapt_window_chunk: int | None = None) -> Prior:
     """FastDVDnet temporal prior over circular 5-frame windows.
 
     ``window_chunk=None`` batches all B windows in one model call (best MXU
-    utilization at small/medium resolution). At 512² the activations of 8
-    simultaneous U-Net windows exceed one chip's HBM, so ``window_chunk=k``
-    processes windows in sequential groups of k via ``lax.scan`` — peak
-    memory becomes one group's activations, like the reference's per-frame
-    loop but still batched k-wide.
+    utilization at small/medium resolution). At 512² the activations of
+    simultaneous U-Net windows compete with the solver loop state for HBM:
+    ``window_chunk=k`` processes windows in sequential groups of k via
+    ``lax.scan`` (peak memory = one group, like the reference's per-frame
+    loop but k-wide). ``adapt_window_chunk`` optionally tightens the group
+    size further inside the adaptation gradient, where stored residuals are
+    the dominant memory term.
     """
 
-    def apply_batched(params, rgb: Array, sigma: Array) -> Array:
-        idx = window_indices(rgb.shape[0], window)
-        return model.apply(params, rgb[idx], sigma)
+    def chunked(chunk):
+        def apply(params, rgb: Array, sigma: Array) -> Array:
+            b = rgb.shape[0]
+            windows = rgb[window_indices(b, window)]
+            if chunk is None or chunk >= b:
+                return model.apply(params, windows, sigma)
+            assert b % chunk == 0, (b, chunk)
+            grouped = windows.reshape((b // chunk, chunk) + windows.shape[1:])
 
-    def apply_chunked(params, rgb: Array, sigma: Array) -> Array:
-        b = rgb.shape[0]
-        if window_chunk is None or window_chunk >= b:
-            return apply_batched(params, rgb, sigma)
-        assert b % window_chunk == 0, (b, window_chunk)
-        windows = rgb[window_indices(b, window)]
-        grouped = windows.reshape((b // window_chunk, window_chunk)
-                                  + windows.shape[1:])
+            def one(_, grp):
+                return None, model.apply(params, grp, sigma)
 
-        def one(_, grp):
-            return None, model.apply(params, grp, sigma)
+            _, outs = jax.lax.scan(one, None, grouped)
+            return outs.reshape((b,) + rgb.shape[1:])
 
-        _, outs = jax.lax.scan(one, None, grouped)
-        return outs.reshape((b,) + rgb.shape[1:])
+        return apply
 
-    # full batch for plain denoising (transient activations, fastest);
-    # sequential groups only inside the adaptation gradient, where stored
-    # residuals of 8 simultaneous windows would exceed HBM
-    return Prior("fastdvd", apply_batched, loss_mode="bayer1",
-                 adapt_noise_std=5.0 / 255.0, apply_adapt=apply_chunked)
+    return Prior(
+        "fastdvd", chunked(window_chunk), loss_mode="bayer1",
+        adapt_noise_std=5.0 / 255.0,
+        apply_adapt=chunked(adapt_window_chunk or window_chunk),
+    )
