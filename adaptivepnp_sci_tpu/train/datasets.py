@@ -74,14 +74,20 @@ def synthetic_video_dataset(
 
 
 def load_array_dir(path: str) -> list[np.ndarray]:
-    """Load all ``.npy``/``.npz`` arrays under a directory (videos or images)."""
-    arrays = []
-    for name in sorted(os.listdir(path)):
-        p = os.path.join(path, name)
-        if name.endswith(".npy"):
-            arrays.append(np.load(p))
-        elif name.endswith(".npz"):
-            with np.load(p) as z:
+    """Load all ``.npy``/``.npz`` arrays under a directory (videos or images).
+
+    ``.npy`` files stream through the native C++ prefetch ring when built
+    (``data/native_loader.py``), overlapping disk reads."""
+    names = sorted(os.listdir(path))
+    npys = [os.path.join(path, n) for n in names if n.endswith(".npy")]
+    arrays: list[np.ndarray] = []
+    if npys:
+        from adaptivepnp_sci_tpu.data.native_loader import iter_npy_prefetched
+
+        arrays.extend(iter_npy_prefetched(npys))
+    for name in names:
+        if name.endswith(".npz"):
+            with np.load(os.path.join(path, name)) as z:
                 arrays.extend(z[k] for k in z.files)
     return arrays
 
