@@ -92,6 +92,25 @@ def load_array_dir(path: str) -> list[np.ndarray]:
     return arrays
 
 
+def write_patch_db(path: str, patches: np.ndarray, chunk: int = 256) -> None:
+    """Persist a patch set as an HDF5 database (the FFDNet pipeline's
+    ``prepare_patches`` artifact, ``packages/ffdnet/dataset.py:24-145``)."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "patches", data=patches,
+            chunks=(min(chunk, len(patches)),) + patches.shape[1:],
+        )
+
+
+def read_patch_db(path: str) -> np.ndarray:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        return np.asarray(f["patches"])
+
+
 def batch_iterator(
     data: np.ndarray, batch_size: int, seed: int = 0, epochs: int | None = None
 ) -> Iterator[np.ndarray]:

@@ -140,3 +140,16 @@ def test_milestone_lr_schedule():
     assert abs(float(s(0)) - 1e-2) < 1e-9
     assert abs(float(s(5)) - 1e-3) < 1e-9
     assert abs(float(s(7)) - 1e-5) < 1e-9
+
+
+def test_patch_db_roundtrip(tmp_path):
+    import numpy as np
+
+    from adaptivepnp_sci_tpu.train.datasets import read_patch_db, write_patch_db
+
+    rng = np.random.default_rng(0)
+    patches = rng.random((20, 16, 16, 3)).astype(np.float32)
+    path = str(tmp_path / "patches.h5")
+    write_patch_db(path, patches)
+    back = read_patch_db(path)
+    np.testing.assert_array_equal(back, patches)
