@@ -233,6 +233,16 @@ def _cmd_synth(args) -> None:
 
 
 def main(argv=None) -> None:
+    # JAX_PLATFORMS may name a plugin backend that fails to register in this
+    # process (e.g. remote-TPU plugins that are cwd-sensitive); fall back to
+    # auto-selection instead of dying.
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+
     p = argparse.ArgumentParser(prog="adaptivepnp-sci-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
