@@ -22,10 +22,11 @@ from jax import Array
 from adaptivepnp_sci_tpu.models.common import depth_to_space
 
 
-def _conv(x: Array, features: int, name: str, groups: int = 1) -> Array:
+def _conv(x: Array, features: int, name: str, groups: int = 1,
+          dtype=None) -> Array:
     return nn.Conv(
         features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-        feature_group_count=groups, name=name,
+        feature_group_count=groups, name=name, dtype=dtype,
     )(x)
 
 
@@ -158,7 +159,7 @@ class FastDVDnet(nn.Module):
             x20 = temp1(f[0], f[1], f[2], noise_map)
             x21 = temp1(f[1], f[2], f[3], noise_map)
             x22 = temp1(f[2], f[3], f[4], noise_map)
-            return temp2(x20, x21, x22, noise_map)
+            return temp2(x20, x21, x22, noise_map).astype(jnp.float32)
 
         # eval: the three shared-weight triplet calls fold into ONE batched
         # call (3N) — identical math with frozen BN, 3x fewer conv launches
@@ -168,4 +169,4 @@ class FastDVDnet(nn.Module):
         nm3 = jnp.concatenate([noise_map] * 3, axis=0)
         x2 = temp1(in0, in1, in2, nm3)
         x20, x21, x22 = x2[:n], x2[n : 2 * n], x2[2 * n :]
-        return temp2(x20, x21, x22, noise_map)
+        return temp2(x20, x21, x22, noise_map).astype(jnp.float32)
