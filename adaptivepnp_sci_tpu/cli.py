@@ -243,6 +243,10 @@ def main(argv=None) -> None:
     except RuntimeError:
         jax.config.update("jax_platforms", "")
 
+    from adaptivepnp_sci_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     p = argparse.ArgumentParser(prog="adaptivepnp-sci-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
