@@ -39,17 +39,27 @@ def _cmd_reconstruct(args) -> None:
 
     scene = load_cacti_mat(args.data, name=args.name)
 
+    def load_weights(path, torch_loader, init_fn):
+        """Accept reference .pth (converted), our .npz / orbax checkpoints,
+        or fall back to random init."""
+        if not path:
+            return init_fn()
+        if path.endswith(".pth"):
+            return torch_loader(path)
+        from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
+
+        return load_checkpoint_variables(path)
+
     if args.denoiser == "ffdnet":
         from adaptivepnp_sci_tpu.models.convert import load_ffdnet
         from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
         from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
 
         model = ffdnet_color()
-        variables = (
-            load_ffdnet(args.ckpt)
-            if args.ckpt
-            else model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-                            jnp.float32(0.1))
+        variables = load_weights(
+            args.ckpt, load_ffdnet,
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                               jnp.float32(0.1)),
         )
         prior = ffdnet_prior(model)
     else:
@@ -58,13 +68,12 @@ def _cmd_reconstruct(args) -> None:
         from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
 
         model = FastDVDnet()
-        variables = (
-            load_fastdvdnet(args.ckpt)
-            if args.ckpt
-            else model.init(jax.random.PRNGKey(0),
-                            jnp.zeros((1, 5, 64, 64, 3)), jnp.float32(0.1))
+        variables = load_weights(
+            args.ckpt, load_fastdvdnet,
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 5, 64, 64, 3)), jnp.float32(0.1)),
         )
-        prior = fastdvd_prior(model)
+        prior = fastdvd_prior(model, window_chunk=4, adapt_window_chunk=2)
 
     demosaic_fn = None
     if args.deep_demosaicking:
@@ -73,10 +82,9 @@ def _cmd_reconstruct(args) -> None:
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
         dd = DDnet()
-        dd_vars = (
-            load_ddnet(args.ddnet_ckpt)
-            if args.ddnet_ckpt
-            else dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 64, 64, 3)))
+        dd_vars = load_weights(
+            args.ddnet_ckpt, load_ddnet,
+            lambda: dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 64, 64, 3))),
         )
         demosaic_fn = ddnet_demosaic(dd, dd_vars)
 
