@@ -29,7 +29,7 @@ def main(network: str, steps: int) -> None:
     # resident on device: per-step batch gathers stay on-chip instead of
     # re-uploading ~8MB over the (possibly remote) host link every step
     clips = jax.device_put(jnp.asarray(
-        synthetic_video_dataset(512, length=5, size=64, seed=123)
+        synthetic_video_dataset(768, length=5, size=64, seed=123, textured=True)
     ))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
