@@ -296,6 +296,77 @@ def two_stage_admm(
     return ADMMResult(xhat, x_bayer, p, s, trace, variables, opt_state)
 
 
+def two_stage_admm_sequence(
+    y_seq: Array,
+    phi_bayer: Array,
+    config: ADMMConfig,
+    prior: Prior | None = None,
+    variables: Any = None,
+    x0_seq: Array | None = None,
+    orig_seq: Array | None = None,
+    optimizer: optax.GradientTransformation | None = None,
+) -> ADMMResult:
+    """Sequential multi-measurement reconstruction as ONE fused program.
+
+    ``lax.scan`` over the T measurements with the (possibly adapting)
+    denoiser variables and Adam state in the carry — the TPU-native form of
+    the reference's ``reuse_model`` driver loop
+    (``two_stage_ADMM_Online_FFD_Warm.py:241,270-275``): refined weights from
+    measurement t initialize measurement t+1, and the whole scene runs in a
+    single device dispatch. Results gain a leading ``T`` axis.
+    """
+    t = y_seq.shape[0]
+    y = jnp.asarray(y_seq, jnp.float32)
+    phi = jnp.asarray(phi_bayer, jnp.float32)
+
+    if x0_seq is None:
+        phi_p = bayer.pack(phi)
+        x0 = jax.vmap(lambda yy: physics.adjoint(bayer.pack(yy), phi_p))(y)
+    else:
+        x0 = jax.vmap(bayer.pack)(jnp.asarray(x0_seq, jnp.float32))
+
+    opt_state = None
+    if config.adapt is not None and prior is not None:
+        if optimizer is None:
+            optimizer = _default_adam(config.adapt.lr)
+        opt_state = optimizer.init(variables["params"])
+
+    orig = jnp.asarray(orig_seq) if orig_seq is not None else None
+    runner = _build_runner(config, prior, None, optimizer, orig is not None)
+    keys = jax.random.split(jax.random.PRNGKey(0), t)
+
+    @jax.jit
+    def run_all(y, x0, orig, variables, opt_state, keys):
+        def step(carry, inp):
+            variables, opt_state = carry
+            if orig is not None:
+                y_i, x0_i, orig_i, key_i = inp
+            else:
+                y_i, x0_i, key_i = inp
+                orig_i = None
+            theta, xhat, trace, variables, opt_state = runner(
+                y_i, phi, x0_i, orig_i, variables, opt_state, key_i
+            )
+            return (variables, opt_state), (theta, xhat, trace)
+
+        xs = (y, x0, orig, keys) if orig is not None else (y, x0, keys)
+        (variables, opt_state), (theta, xhat, trace) = jax.lax.scan(
+            step, (variables, opt_state), xs
+        )
+        return theta, xhat, trace, variables, opt_state
+
+    theta, xhat, trace, out_vars, out_opt = run_all(
+        y, x0, orig, variables, opt_state, keys
+    )
+    x_bayer = jax.vmap(bayer.unpack)(theta)
+    if orig is not None:
+        p = jax.vmap(metrics.psnr_per_frame)(orig, x_bayer)
+        s = jax.vmap(metrics.ssim_per_frame)(orig, x_bayer)
+    else:
+        p = s = jnp.zeros(x_bayer.shape[:2], jnp.float32)
+    return ADMMResult(xhat, x_bayer, p, s, trace, out_vars, out_opt)
+
+
 def two_stage_admm_tiled(
     y_bayer: Array,
     phi_bayer: Array,

@@ -224,3 +224,41 @@ def test_two_stage_admm_tiled_ffdnet_shapes(scene, tiny_ffdnet):
     )
     assert res.x_rgb.shape == scene.orig_rgb.shape
     assert np.isfinite(np.asarray(res.x_rgb)).all()
+
+
+def test_two_stage_admm_sequence_carries_weights(scene, tiny_ffdnet):
+    """Fused lax.scan over measurements: matches the sequential driver loop."""
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_sequence
+
+    model, variables = tiny_ffdnet
+    prior = ffdnet_prior(model)
+    config = ADMMConfig(
+        sigma=(25 / 255,), iters=(4,), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=1e-4, update_per_iter=1, interval_iter=2,
+                          initial_iter=0),
+    )
+    y2 = jnp.stack([jnp.asarray(scene.meas)] * 2)
+    orig2 = jnp.stack([jnp.asarray(scene.orig_bayer)] * 2)
+
+    seq = two_stage_admm_sequence(y2, scene.mask, config, prior=prior,
+                                  variables=variables, orig_seq=orig2)
+    assert seq.x_bayer.shape == (2,) + scene.orig_bayer.shape
+
+    # oracle: explicit python loop threading variables/opt_state (same keys)
+    v, o = variables, None
+    outs = []
+    for i in range(2):
+        r = two_stage_admm(
+            scene.meas, scene.mask, config, prior=prior, variables=v,
+            orig_bayer=scene.orig_bayer, opt_state=o,
+            key=jax.random.split(jax.random.PRNGKey(0), 2)[i],
+        )
+        v, o = r.variables, r.opt_state
+        outs.append(np.asarray(r.x_bayer))
+    np.testing.assert_allclose(np.asarray(seq.x_bayer), np.stack(outs),
+                               rtol=1e-4, atol=1e-6)
+    # weights actually adapted across the sequence
+    before = jax.tree_util.tree_leaves(variables["params"])
+    after = jax.tree_util.tree_leaves(seq.variables["params"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
