@@ -28,8 +28,11 @@ from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
 def main(network: str, steps: int) -> None:
     # resident on device: per-step batch gathers stay on-chip instead of
     # re-uploading ~8MB over the (possibly remote) host link every step
+    # NOTE: textured=False reproduces the shipped weights. A textured-data
+    # variant denoises standalone better but is LESS contractive inside the
+    # PnP loop and scores ~14 dB worse end-to-end — see RESULTS.md.
     clips = jax.device_put(jnp.asarray(
-        synthetic_video_dataset(768, length=5, size=64, seed=123, textured=True)
+        synthetic_video_dataset(512, length=5, size=64, seed=123)
     ))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
