@@ -88,7 +88,7 @@ def main(out_path: str = "RESULTS.md") -> None:
                  float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
 
     # 3. FastDVDnet (regenerated weights if present)
-    fdvd_path = "weights/fastdvd/final"
+    fdvd_path = "weights/fastdvd.npz"
     if os.path.exists(fdvd_path):
         from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
         from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
@@ -131,7 +131,7 @@ def main(out_path: str = "RESULTS.md") -> None:
                  float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
 
     # 5. DDnet joint demosaicking (regenerated weights if present) + batched
-    dd_path = "weights/ddnet/final"
+    dd_path = "weights/ddnet.npz"
     if os.path.exists(dd_path):
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
