@@ -265,6 +265,15 @@ def two_stage_admm(
     """
     y = jnp.asarray(y_bayer, jnp.float32)
     phi = jnp.asarray(phi_bayer, jnp.float32)
+    if y.ndim != 2 or phi.ndim != 3 or phi.shape[1:] != y.shape:
+        raise ValueError(
+            f"expected y (H, W) and phi (B, H, W) with matching spatial dims; "
+            f"got y {y.shape}, phi {phi.shape}"
+        )
+    if y.shape[0] % 2 or y.shape[1] % 2:
+        raise ValueError(f"Bayer dims must be even, got {y.shape}")
+    if config.denoiser != "tv" and prior is None:
+        raise ValueError(f"denoiser={config.denoiser!r} requires a prior")
 
     if x0_bayer is None:
         x0 = physics.adjoint(bayer.pack(y), bayer.pack(phi))

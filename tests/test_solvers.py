@@ -262,3 +262,12 @@ def test_two_stage_admm_sequence_carries_weights(scene, tiny_ffdnet):
     after = jax.tree_util.tree_leaves(seq.variables["params"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(before, after))
+
+
+def test_input_validation_errors(scene):
+    with pytest.raises(ValueError, match="matching spatial dims"):
+        two_stage_admm(scene.meas[:-2], scene.mask,
+                       ADMMConfig(sigma=(0.0,), iters=(1,), denoiser="tv"))
+    with pytest.raises(ValueError, match="requires a prior"):
+        two_stage_admm(scene.meas, scene.mask,
+                       ADMMConfig(sigma=(0.1,), iters=(1,), denoiser="ffdnet"))
