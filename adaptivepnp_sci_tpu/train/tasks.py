@@ -49,11 +49,18 @@ def fastdvd_task(
     model,
     sigma_range: tuple[float, float] = (5 / 255, 55 / 255),
     demosaic_aug: bool = False,
+    lipschitz_penalty: float = 0.0,
 ) -> TrainTask:
     """``demosaic_aug`` passes half the inputs through mosaic->Malvar before
     noising: inside the PnP solver the denoiser sees demosaicked ADMM
     iterates, not clean RGB, and a net trained only on clean inputs
-    extrapolates badly on that distribution (dual drift blows up)."""
+    extrapolates badly on that distribution (dual drift blows up).
+
+    ``lipschitz_penalty`` adds a stochastic contractiveness regularizer
+    ``relu(||f(x+d)-f(x)||^2/||d||^2 - 1)``: plug-and-play convergence needs
+    a (near-)nonexpansive denoiser, which plain MSE training does not give
+    (PnP-ADMM fixed-point theory, e.g. Chan et al. 2017 / Ryu et al. 2019).
+    Costs one extra forward per step."""
 
     def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -87,7 +94,24 @@ def fastdvd_task(
             variables, noisy, sigma, train=True, mutable=["batch_stats"]
         )
         center = clips[:, clips.shape[1] // 2]
-        return jnp.mean((out - center) ** 2) / 2.0, mutated
+        loss = jnp.mean((out - center) ** 2) / 2.0
+        if lipschitz_penalty > 0:
+            k7, k8 = jax.random.split(jax.random.fold_in(key, 7))
+            delta = 0.02 * jax.random.normal(k7, noisy.shape, noisy.dtype)
+            out2, _ = model.apply(
+                variables, noisy + delta, sigma, train=True,
+                mutable=["batch_stats"],
+            )
+            num = jnp.sum((out2 - out) ** 2, axis=(1, 2, 3))
+            # compare against the center-frame slice of the perturbation: the
+            # PnP iteration feeds the denoiser's center-frame output back as
+            # the next center frame, so that's the contraction that matters
+            den = jnp.sum(delta[:, delta.shape[1] // 2] ** 2, axis=(1, 2, 3))
+            ratio = num / jnp.maximum(den, 1e-12)
+            loss = loss + lipschitz_penalty * jnp.mean(
+                jax.nn.relu(ratio - 1.0)
+            )
+        return loss, mutated
 
     return TrainTask("fastdvd", loss_fn)
 
