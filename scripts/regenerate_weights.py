@@ -7,7 +7,7 @@ synthetic benchmark scenes — weights are distribution-matched to the
 benchmarks here and functional stand-ins elsewhere; the converters accept
 upstream checkpoints whenever real ones are available.
 
-Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps]
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight]
 Saves orbax checkpoints under weights/<name>/final.
 """
 
@@ -40,7 +40,8 @@ def main(network: str, steps: int) -> None:
 
         model = FastDVDnet()
         variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
-        task = fastdvd_task(model, demosaic_aug=True)
+        task = fastdvd_task(model, demosaic_aug=True,
+                            lipschitz_penalty=lipschitz)
         lr = 1e-3
     elif network == "ddnet":
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
@@ -67,4 +68,9 @@ def main(network: str, steps: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 3000)
+    main(
+        sys.argv[1],
+        int(sys.argv[2]) if len(sys.argv) > 2 else 3000,
+        textured=len(sys.argv) > 3 and sys.argv[3] == "textured",
+        lipschitz=float(sys.argv[4]) if len(sys.argv) > 4 else 0.0,
+    )
