@@ -25,14 +25,16 @@ from adaptivepnp_sci_tpu.train.datasets import batch_iterator, synthetic_video_d
 from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
 
 
-def main(network: str, steps: int) -> None:
-    # resident on device: per-step batch gathers stay on-chip instead of
-    # re-uploading ~8MB over the (possibly remote) host link every step
-    # NOTE: textured=False reproduces the shipped weights. A textured-data
-    # variant denoises standalone better but is LESS contractive inside the
-    # PnP loop and scores ~14 dB worse end-to-end — see RESULTS.md.
+def main(network: str, steps: int, textured: bool = False,
+         lipschitz: float = 0.0) -> None:
+    # Data stays device-resident: per-step batch gathers run on-chip instead
+    # of re-uploading ~8MB over the (possibly remote) host link every step.
+    # NOTE: defaults reproduce the shipped weights. Textured data / longer
+    # training improve standalone denoising but reduce PnP contractiveness
+    # (see RESULTS.md); the lipschitz penalty is the experimental antidote.
     clips = jax.device_put(jnp.asarray(
-        synthetic_video_dataset(512, length=5, size=64, seed=123)
+        synthetic_video_dataset(768 if textured else 512, length=5,
+                                size=64, seed=123, textured=textured)
     ))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
