@@ -1,0 +1,48 @@
+"""CLI workflow tests (tiny shapes, random weights, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from adaptivepnp_sci_tpu.cli import main
+
+FFD_CKPT = "/root/reference/model_zoo/ffdnet_color.pth"
+
+
+@pytest.fixture
+def scene_mat(tmp_path):
+    path = str(tmp_path / "scene.mat")
+    main(["synth", "--out", path, "--size", "32", "--frames", "4", "--seed", "3"])
+    return path
+
+
+def test_cli_synth_shapes(scene_mat):
+    raw = sio.loadmat(scene_mat)
+    assert raw["meas_bayer"].shape == (32, 32, 1)
+    assert raw["mask_bayer"].shape == (32, 32, 4)
+    assert raw["orig_bayer"].shape == (32, 32, 4)
+
+
+def test_cli_warmstart_and_reconstruct(tmp_path, scene_mat, capsys):
+    warm = str(tmp_path / "warm.mat")
+    main(["warmstart", "--data", scene_mat, "--out", warm, "--iters", "10"])
+    out = capsys.readouterr().out
+    assert "warm start PSNR" in out
+
+    results = str(tmp_path / "results.mat")
+    args = [
+        "reconstruct", "--data", scene_mat, "--warm", warm,
+        "--name", "Beauty", "--denoiser", "ffdnet",
+        "--out", results, "--no-update",
+    ]
+    if os.path.exists(FFD_CKPT):
+        args += ["--ckpt", FFD_CKPT]
+    main(args)
+    out = capsys.readouterr().out
+    assert "PSNR" in out
+    saved = sio.loadmat(results)
+    assert saved["v_recon_bayer"].shape == (32, 32, 4)
+    assert np.isfinite(saved["v_recon_bayer"]).all()
+    assert saved["psnr"].shape == (1, 4)
