@@ -104,6 +104,8 @@ def _cmd_reconstruct(args) -> None:
         save_results(
             args.out, out.x_bayer, out.x_rgb, out.psnr, out.ssim,
             out.psnr_all_iter,
+            orig_real=scene.orig_real,
+            meas_bayer=np.transpose(scene.meas, (1, 2, 0)) * scene.maxb,
         )
     print(
         f"{args.name or args.data}: PSNR {out.psnr.mean():.2f} dB, "
@@ -229,12 +231,18 @@ def _cmd_synth(args) -> None:
     meas = s.meas if s.meas.ndim == 3 else s.meas[..., None]
     orig = s.orig_bayer if s.orig_bayer.ndim == 4 else s.orig_bayer[None]
     t, b, h, w = orig.shape
+    # store 0-255-scaled like real CACTI files (the loader divides by MAXB
+    # unconditionally, matching two_stage_ADMM_Online_FFD_Warm.py:245-248)
     sio.savemat(
         args.out,
         {
-            "meas_bayer": np.transpose(meas.reshape(h, w, -1), (0, 1, 2)),
+            "meas_bayer": meas.reshape(h, w, -1) * 255.0,
             "mask_bayer": np.transpose(s.mask, (1, 2, 0)),
-            "orig_bayer": np.transpose(orig.reshape(t * b, h, w), (1, 2, 0)),
+            "orig_bayer": np.transpose(orig.reshape(t * b, h, w), (1, 2, 0))
+            * 255.0,
+            "orig": np.transpose(
+                s.orig_rgb.reshape(t * b, h, w, 3), (1, 2, 3, 0)
+            ) * 255.0,
         },
     )
     print(f"synthetic scene -> {args.out}")

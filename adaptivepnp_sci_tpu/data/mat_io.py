@@ -29,6 +29,11 @@ class SceneData:
     meas: np.ndarray        # (T, H, W) snapshots, float32 in [0, ~B]
     mask: np.ndarray        # (B, H, W) float32 binary
     orig_bayer: np.ndarray | None  # (T, B, H, W) ground truth or None
+    #: raw ``orig`` key (RGB ground truth), carried verbatim into results
+    #: like the driver does (``two_stage_ADMM_Online_FFD_Warm.py:169,329``)
+    orig_real: np.ndarray | None = None
+    #: the MAXB the measurement/GT were divided by at load time
+    maxb: float = 255.0
 
     @property
     def n_meas(self) -> int:
@@ -39,15 +44,15 @@ class SceneData:
         return self.mask.shape[0]
 
 
-def _maybe_scale(a: np.ndarray) -> np.ndarray:
-    """Match the drivers: integer-stored data scales by /255."""
-    if np.issubdtype(a.dtype, np.integer) or a.max() > 2.0 * 255:
-        return a.astype(np.float32) / 255.0
-    return a.astype(np.float32)
+def load_cacti_mat(path: str, name: str = "", maxb: float = 255.0) -> SceneData:
+    """Read a CACTI scene from a ``.mat`` file (v7.3 HDF5 or v5).
 
-
-def load_cacti_mat(path: str, name: str = "") -> SceneData:
-    """Read a CACTI scene from a ``.mat`` file (v7.3 HDF5 or v5)."""
+    ``meas_bayer`` and ``orig_bayer`` are divided by ``maxb``
+    UNCONDITIONALLY, exactly like the drivers' ``/MAXB``
+    (``two_stage_ADMM_Online_FFD_Warm.py:30,245-248``) — a float-stored
+    0-255 scene (max < 510) must still be scaled. Pass ``maxb=1.0`` for
+    data already in [0, 1]. The mask is never scaled.
+    """
     try:
         import h5py
 
@@ -59,6 +64,7 @@ def load_cacti_mat(path: str, name: str = "") -> SceneData:
         meas = raw["meas_bayer"]
         mask = raw["mask_bayer"]
         orig = raw.get("orig_bayer")
+        orig_real = raw.get("orig")
         if meas.ndim == 2:
             meas = meas.T[None]                    # (1, H, W)
         else:
@@ -73,20 +79,24 @@ def load_cacti_mat(path: str, name: str = "") -> SceneData:
         meas = raw["meas_bayer"].astype(np.float32)
         mask = raw["mask_bayer"]
         orig = raw.get("orig_bayer")
+        orig_real = raw.get("orig")
         # scipy yields MATLAB shapes directly: meas (H,W[,T]), mask (H,W,B)
         meas = meas[None] if meas.ndim == 2 else np.transpose(meas, (2, 0, 1))
         mask = np.transpose(mask, (2, 0, 1))
         if orig is not None:
             orig = np.transpose(orig, (2, 0, 1))
 
-    meas = _maybe_scale(np.asarray(meas))
+    meas = np.asarray(meas).astype(np.float32) / maxb
     mask = np.asarray(mask).astype(np.float32)
     b = mask.shape[0]
     if orig is not None:
-        orig = _maybe_scale(np.asarray(orig))
+        orig = np.asarray(orig).astype(np.float32) / maxb
         t = orig.shape[0] // b
         orig = orig[: t * b].reshape(t, b, *orig.shape[1:])
-    return SceneData(name=name, meas=meas, mask=mask, orig_bayer=orig)
+    return SceneData(
+        name=name, meas=meas, mask=mask, orig_bayer=orig,
+        orig_real=orig_real, maxb=maxb,
+    )
 
 
 def save_warm_start(path: str, recon: np.ndarray) -> None:
@@ -117,9 +127,13 @@ def save_results(
     ssim: np.ndarray,
     psnr_all_iter: np.ndarray,
     meta: dict | None = None,
+    orig_real: np.ndarray | None = None,
+    meas_bayer: np.ndarray | None = None,
 ) -> None:
     """Write reconstruction results with the reference's key set
-    (``two_stage_ADMM_Online_FFD_Warm.py:316-330``)."""
+    (``two_stage_ADMM_Online_FFD_Warm.py:316-330``), including the verbatim
+    RGB ground truth ``orig_real`` (:329) and the unscaled measurement
+    ``meas_bayer`` (:330) when provided."""
     import scipy.io as sio
 
     t, b, h, w = x_bayer.shape
@@ -129,6 +143,10 @@ def save_results(
         "ssim": np.asarray(ssim),
         "psnr_all_iter": np.asarray(psnr_all_iter),
     }
+    if orig_real is not None:
+        out["orig_real"] = np.asarray(orig_real)
+    if meas_bayer is not None:
+        out["meas_bayer"] = np.asarray(meas_bayer)
     if x_rgb is not None:
         out["v_recon_rgb"] = np.transpose(
             x_rgb.reshape(t * b, h, w, 3), (1, 2, 3, 0)

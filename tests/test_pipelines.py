@@ -65,11 +65,15 @@ def test_results_mat_write(tmp_path):
     x = np.zeros((1, 4, 8, 8), np.float32)
     rgb = np.zeros((1, 4, 8, 8, 3), np.float32)
     path = str(tmp_path / "res.mat")
+    orig_real = np.arange(24, dtype=np.float32).reshape(2, 3, 2, 2)
     save_results(path, x, rgb, np.ones((1, 4)), np.ones((1, 4)),
-                 np.zeros((1, 10)))
+                 np.zeros((1, 10)), orig_real=orig_real,
+                 meas_bayer=np.zeros((8, 8, 1), np.float32))
     back = sio.loadmat(path)
     assert back["v_recon_bayer"].shape == (8, 8, 4)
     assert back["psnr_all_iter"].shape == (1, 10)
+    np.testing.assert_allclose(back["orig_real"], orig_real)
+    assert back["meas_bayer"].shape == (8, 8, 1)
 
 
 def test_cacti_mat_v5_loader(tmp_path):
@@ -80,15 +84,17 @@ def test_cacti_mat_v5_loader(tmp_path):
     sio.savemat(
         path,
         {
-            "meas_bayer": s.meas.astype(np.float32),           # (H, W)
-            "mask_bayer": np.transpose(s.mask, (1, 2, 0)),     # (H, W, B)
-            "orig_bayer": np.transpose(s.orig_bayer, (1, 2, 0)),
+            # real CACTI files store 0-255-scaled data (driver divides /MAXB)
+            "meas_bayer": s.meas.astype(np.float32) * 255.0,       # (H, W)
+            "mask_bayer": np.transpose(s.mask, (1, 2, 0)),         # (H, W, B)
+            "orig_bayer": np.transpose(s.orig_bayer, (1, 2, 0)) * 255.0,
         },
     )
     data = load_cacti_mat(path, "synth")
     assert data.meas.shape == (1, 16, 16)
     assert data.mask.shape == (4, 16, 16)
     assert data.orig_bayer.shape == (1, 4, 16, 16)
+    np.testing.assert_allclose(data.meas[0], s.meas, rtol=1e-6)
     np.testing.assert_allclose(data.mask, s.mask)
     np.testing.assert_allclose(data.orig_bayer[0], s.orig_bayer, rtol=1e-6)
 
@@ -99,17 +105,49 @@ def test_cacti_mat_v73_loader(tmp_path):
     s = make_scene(b=4, h=16, w=16, seed=1, n_meas=2)
     path = str(tmp_path / "scene73.mat")
     orig = s.orig_bayer.reshape(8, 16, 16)
+    orig_real = s.orig_rgb.astype(np.float32)  # raw 'orig', carried verbatim
     with h5py.File(path, "w") as f:
         # v7.3 files present arrays transposed relative to MATLAB shape
-        f["meas_bayer"] = np.transpose(s.meas, (2, 1, 0))   # (T, W, H)
-        f["mask_bayer"] = np.transpose(s.mask, (0, 2, 1))   # (B, W, H)
-        f["orig_bayer"] = np.transpose(orig, (0, 2, 1))     # (T*B, W, H)
+        f["meas_bayer"] = np.transpose(s.meas, (2, 1, 0)) * 255.0  # (T, W, H)
+        f["mask_bayer"] = np.transpose(s.mask, (0, 2, 1))          # (B, W, H)
+        f["orig_bayer"] = np.transpose(orig, (0, 2, 1)) * 255.0    # (T*B, W, H)
+        f["orig"] = orig_real
     data = load_cacti_mat(path, "synth73")
     assert data.meas.shape == (2, 16, 16)
+    np.testing.assert_allclose(data.meas[0], s.meas[..., 0], rtol=1e-6)
     np.testing.assert_allclose(data.mask, s.mask)
     np.testing.assert_allclose(
         data.orig_bayer.reshape(8, 16, 16), orig, rtol=1e-6
     )
+    # the RGB ground truth is carried verbatim (driver :169 -> :329)
+    np.testing.assert_allclose(data.orig_real, orig_real)
+
+
+def test_dark_float_scene_still_scaled(tmp_path):
+    """Regression: a float-stored 0-255 scene whose max is < 510 (e.g. a dark
+    scene peaking at ~200) must STILL be divided by 255 — the drivers divide
+    unconditionally (two_stage_ADMM_Online_FFD_Warm.py:245-248)."""
+    h5py = pytest.importorskip("h5py")
+
+    s = make_scene(b=4, h=16, w=16, seed=2)
+    dark_meas = s.meas.astype(np.float32) * 0.2 * 255.0   # peak ~0.2*B*255
+    path = str(tmp_path / "dark.mat")
+    with h5py.File(path, "w") as f:
+        f["meas_bayer"] = dark_meas.T
+        f["mask_bayer"] = np.transpose(s.mask, (0, 2, 1))
+        f["orig_bayer"] = (
+            np.transpose(s.orig_bayer, (0, 2, 1)) * 0.2 * 255.0
+        )
+    data = load_cacti_mat(path, "dark")
+    np.testing.assert_allclose(data.meas[0], s.meas * 0.2, rtol=1e-5)
+    np.testing.assert_allclose(data.orig_bayer[0], s.orig_bayer * 0.2,
+                               rtol=1e-5)
+    # and maxb=1.0 opts out for data already in [0, 1]
+    with h5py.File(str(tmp_path / "unit.mat"), "w") as f:
+        f["meas_bayer"] = s.meas.T
+        f["mask_bayer"] = np.transpose(s.mask, (0, 2, 1))
+    unit = load_cacti_mat(str(tmp_path / "unit.mat"), "unit", maxb=1.0)
+    np.testing.assert_allclose(unit.meas[0], s.meas, rtol=1e-6)
 
 
 def test_run_reconstruction_carries_model(tmp_path):
