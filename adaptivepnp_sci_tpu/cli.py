@@ -21,7 +21,20 @@ def _cmd_warmstart(args) -> None:
     from adaptivepnp_sci_tpu.pipelines import run_warm_start
 
     scene = load_cacti_mat(args.data, name=args.name)
-    out = run_warm_start(scene, iters=args.iters)
+    prior = variables = None
+    if args.denoiser == "ffdnet":
+        from adaptivepnp_sci_tpu.models.convert import load_ffdnet
+        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+        from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+        if not args.ckpt:
+            raise SystemExit("--denoiser ffdnet requires --ckpt <ffdnet.pth>")
+        prior = ffdnet_prior(ffdnet_color())
+        variables = load_ffdnet(args.ckpt)
+    out = run_warm_start(
+        scene, iters=args.iters, denoiser=args.denoiser,
+        prior=prior, variables=variables,
+    )
     save_warm_start(args.out, out.x_bayer)
     print(f"warm start PSNR {out.psnr.mean():.2f} dB -> {args.out}")
 
@@ -266,11 +279,15 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="adaptivepnp-sci-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    w = sub.add_parser("warmstart", help="GAP-TV warm start")
+    w = sub.add_parser("warmstart", help="GAP warm start (TV or deep prior)")
     w.add_argument("--data", required=True)
     w.add_argument("--out", required=True)
     w.add_argument("--name", default="scene")
     w.add_argument("--iters", type=int, default=40)
+    w.add_argument("--denoiser", choices=["tv", "ffdnet"], default="tv",
+                   help="'ffdnet' selects the one-stage GAP deep branch")
+    w.add_argument("--ckpt", default=None,
+                   help="denoiser checkpoint for --denoiser ffdnet")
     w.set_defaults(fn=_cmd_warmstart)
 
     r = sub.add_parser("reconstruct", help="two-stage online-adaptive ADMM")

@@ -71,15 +71,42 @@ def load_adapted_state(path: str, like_variables: Any, like_opt_state: Any = Non
 
 
 def run_warm_start(
-    scene: SceneData, iters: int = WARM_START_ITERS
+    scene: SceneData,
+    iters: int = WARM_START_ITERS,
+    denoiser: str = "tv",
+    prior=None,
+    variables=None,
+    sigma: tuple[float, ...] = (50 / 255, 25 / 255, 12 / 255),
 ) -> ReconstructionOutput:
-    """GAP-TV warm start over all measurements of a scene."""
+    """Warm start over all measurements of a scene.
+
+    ``denoiser='tv'`` is the reference's default (GAP-TV); a deep prior +
+    variables selects the one-stage GAP deep branches
+    (``dvp…online.py:439-496``) with a ``sigma`` continuation split evenly
+    over ``iters``.
+    """
     outs, psnrs, ssims, traces, times = [], [], [], [], []
-    cfg = GapTVConfig(iters=iters)
+    if denoiser == "tv":
+        cfg = GapTVConfig(iters=iters)
+    else:
+        from adaptivepnp_sci_tpu.solvers import GapDeepConfig, gap_deep
+
+        if prior is None or variables is None:
+            raise ValueError("deep warm start needs prior + variables")
+        per = max(iters // len(sigma), 1)
+        cfg = GapDeepConfig(
+            sigma=sigma, iters=(per,) * len(sigma), denoiser=denoiser
+        )
     for t in range(scene.n_meas):
         t0 = time.perf_counter()
         orig = scene.orig_bayer[t] if scene.orig_bayer is not None else None
-        res = gap_tv(scene.meas[t], scene.mask, cfg, orig_bayer=orig)
+        if denoiser == "tv":
+            res = gap_tv(scene.meas[t], scene.mask, cfg, orig_bayer=orig)
+        else:
+            res = gap_deep(
+                scene.meas[t], scene.mask, cfg, prior=prior,
+                variables=variables, orig_bayer=orig,
+            )
         jax.block_until_ready(res.x_bayer)
         times.append(time.perf_counter() - t0)
         outs.append(np.asarray(res.x_bayer))

@@ -153,6 +153,56 @@ def oracle_two_stage_ffdnet(
     return x_bayer_out, rgb_out
 
 
+def oracle_gap_ffdnet(y, phi, state_dict, sigmas, iters, x0_bayer=None):
+    """One-stage GAP + FFDNet warm-start loop (clean duals): semantics of
+    ``admm_denoise_bayer_demosaic_pre(denoiser='ffdnet_color')``
+    (``dvp…online.py:389-391,439-472,505-507``). Returns final ``(H, W, B)``
+    Bayer cube (taken from x, matching the reference's :544-546)."""
+    from tests.test_demosaic import numpy_malvar
+    from tests.test_ffdnet import torch_ffdnet_forward
+
+    h, w = y.shape
+    nb = phi.shape[0]
+    phi_hwb = np.transpose(np.asarray(phi, np.float32), (1, 2, 0))
+    yall = pack4(np.asarray(y, np.float32))
+    phiall = pack4(phi_hwb)
+    phisum = phiall.sum(2)
+    phisum[phisum == 0] = 1.0
+
+    if x0_bayer is None:
+        x0 = phiall * yall[:, :, None, :]
+    else:
+        x0 = pack4(np.transpose(np.asarray(x0_bayer, np.float32), (1, 2, 0)))
+
+    lam, gamma = 1.0, 0.01
+    theta = x0.copy()
+    ball = np.zeros_like(x0)
+    for nsig, ni in zip(sigmas, iters):
+        for _ in range(ni):
+            p = theta + ball
+            yb = (p * phiall).sum(2)
+            x = p + lam * phiall * ((yall - yb) / (phisum + gamma))[:, :, None, :]
+
+            x_bayer = scatter4(x - ball, h, w)
+            x_rgb = np.stack(
+                [numpy_malvar(x_bayer[:, :, m]) for m in range(nb)], -1
+            ).astype(np.float32)
+            frames = np.transpose(x_rgb, (3, 2, 0, 1)).astype(np.float32)
+            den = np.stack(
+                [
+                    torch_ffdnet_forward(
+                        state_dict, frames[m : m + 1], np.float32(nsig)
+                    )[0]
+                    for m in range(nb)
+                ],
+                0,
+            )
+            xbgr3 = np.transpose(den, (2, 3, 1, 0))
+            theta = np.clip(rggb_subsample(xbgr3), 0.0, 1.0)
+            ball = ball - (x - theta)
+    return scatter4(x, h, w)
+
+
 def psnr(a, b):
     mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
     return 10 * np.log10(1.0 / mse)
