@@ -110,6 +110,7 @@ def make_adapt_fn(
     prior: "Prior",
     optimizer: optax.GradientTransformation,
     update_per_iter: int,
+    grad_axis: str | None = None,
 ):
     """Returns ``adapt(variables, opt_state, key, rgb_in, sigma, y_p, phi_p,
     y_f, phi_f) -> (variables, opt_state, key)`` performing ``update_per_iter``
@@ -118,6 +119,10 @@ def make_adapt_fn(
     Only the ``'params'`` collection receives gradients; ``batch_stats``
     (BatchNorm running statistics) stay frozen — the reference's BN-freeze
     during FastDVDnet adaptation (``test_fastdvdnet.py:374-379``).
+
+    ``grad_axis`` names a mapped axis (vmap/shard_map) to ``pmean`` gradients
+    over — used by the tiled solver so all tiles share ONE adapted weight
+    copy (DP-style grad sync) instead of drifting apart per tile.
     """
 
     def adapt(variables, opt_state, key, rgb_in, sigma, y_p, phi_p, y_f, phi_f):
@@ -132,6 +137,8 @@ def make_adapt_fn(
         loss = lambda p: base_loss({"params": p, **frozen})  # noqa: E731
         for _ in range(update_per_iter):
             grads = jax.grad(loss)(trainable)
+            if grad_axis is not None:
+                grads = jax.lax.pmean(grads, grad_axis)
             updates, opt_state = optimizer.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
         return {"params": trainable, **frozen}, opt_state, key

@@ -96,15 +96,20 @@ def _build_runner(
     demosaic_fn: Callable | None,
     optimizer: optax.GradientTransformation | None,
     compute_trace: bool,
+    grad_axis: str | None = None,
 ):
-    """Build (and cache) the jitted whole-schedule scan for a configuration."""
+    """Build (and cache) the jitted whole-schedule scan for a configuration.
+
+    ``grad_axis``: mapped-axis name for cross-tile/cross-shard adaptation
+    gradient ``pmean`` (see :func:`two_stage_admm_tiled`).
+    """
     sigmas_np, adapt_mask_np = make_schedule(config.sigma, config.iters, config.adapt)
     total_iters = int(sigmas_np.shape[0])
     rho, alpha, tau = config.rho, config.alpha, config.tau
 
     do_adapt = config.adapt is not None and prior is not None
     adapt_step = (
-        make_adapt_fn(prior, optimizer, config.adapt.update_per_iter)
+        make_adapt_fn(prior, optimizer, config.adapt.update_per_iter, grad_axis)
         if do_adapt
         else None
     )
@@ -385,6 +390,7 @@ def two_stage_admm_tiled(
     variables: Any = None,
     orig_bayer: Array | None = None,
     demosaic_fn: Callable | None = None,
+    mesh=None,
 ) -> ADMMResult:
     """Large-scene mode: reconstruct one oversized measurement as a vmap
     batch of non-overlapping ``tile x tile`` patches, then stitch.
@@ -394,6 +400,15 @@ def two_stage_admm_tiled(
     handles >512px scenes the same way, with host-side patch croppers —
     ``utils/crop_into_patches.py:5-29``). ``tile`` must be even and divide
     H and W. The tile axis composes with a ('data',) mesh for multi-chip.
+
+    With ``config.adapt`` set, all tiles share ONE adapted weight copy: the
+    tile axis is vmapped with an axis name and adaptation gradients are
+    ``pmean``-ed over it every trigger (DP-style sync), so the returned
+    ``variables`` are the single shared weights — not a per-tile stack.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis — the
+    tile batch is placed with a ``P('data')`` sharding so XLA partitions the
+    vmap over chips (grad pmean becomes a real cross-chip all-reduce).
     """
     h, w = y_bayer.shape
     assert h % tile == 0 and w % tile == 0 and tile % 2 == 0, (h, w, tile)
@@ -414,25 +429,44 @@ def two_stage_admm_tiled(
 
     optimizer = None
     opt_state = None
-    if config.adapt is not None and prior is not None:
+    do_adapt = config.adapt is not None and prior is not None
+    if do_adapt:
         optimizer = _default_adam(config.adapt.lr)
         opt_state = optimizer.init(variables["params"])
 
-    runner = _build_runner(config, prior, demosaic_fn, optimizer, orig is not None)
+    grad_axis = "tile" if do_adapt else None
+    runner = _build_runner(
+        config, prior, demosaic_fn, optimizer, orig is not None, grad_axis
+    )
     keys = jax.random.split(jax.random.PRNGKey(0), y_t.shape[0])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tile_sharding = NamedSharding(mesh, P("data"))
+        y_t = jax.device_put(y_t, tile_sharding)
+        phi_t = jax.device_put(phi_t, tile_sharding)
+        keys = jax.device_put(keys, tile_sharding)
+        if orig is not None:
+            orig_t = jax.device_put(orig_t, tile_sharding)
 
     def one(y_i, phi_i, orig_i, key_i):
         x0 = physics.adjoint(bayer.pack(y_i), bayer.pack(phi_i))
         return runner(y_i, phi_i, x0, orig_i, variables, opt_state, key_i)
 
     if orig is not None:
-        theta, xhat, trace, out_vars, out_opt = jax.vmap(one)(
-            y_t, phi_t, orig_t, keys
-        )
+        theta, xhat, trace, out_vars, out_opt = jax.vmap(
+            one, axis_name=grad_axis
+        )(y_t, phi_t, orig_t, keys)
     else:
         theta, xhat, trace, out_vars, out_opt = jax.vmap(
-            lambda a, b, k: one(a, b, None, k)
+            lambda a, b, k: one(a, b, None, k), axis_name=grad_axis
         )(y_t, phi_t, keys)
+    if do_adapt:
+        # grads were pmean-synced, so every tile carries identical weights:
+        # return the single shared copy
+        out_vars = jax.tree_util.tree_map(lambda x: x[0], out_vars)
+        out_opt = jax.tree_util.tree_map(lambda x: x[0], out_opt)
 
     x_bayer_t = jax.vmap(bayer.unpack)(theta)  # (N, B, tile, tile)
     x_bayer = jnp.moveaxis(
