@@ -139,22 +139,35 @@ def run_reconstruction(
     dm_update: bool = False,
     dm_lr: float = 1e-6,
     dm_update_per_iter: int = 1,
+    dm_in_scan: bool = False,
 ) -> ReconstructionOutput:
     """Two-stage online-adaptive reconstruction over all measurements.
 
     With ``dm_update`` (the reference's dormant ``args.dm_update`` option),
-    the DDnet demosaicker is self-consistency-adapted per measurement on the
-    current Bayer estimate and the refined weights carry forward. Note: each
-    adapted demosaicker is a fresh closure, so the solver re-traces per
-    measurement in this mode — acceptable for the rarely-used option.
+    the DDnet demosaicker is self-consistency-adapted against the current
+    Bayer estimate and the refined weights carry forward across measurements.
+    Two adaptation placements:
+
+    * ``dm_in_scan=True`` — the reference's exact interleaving
+      (``DDnet_test.py:239-293``): Adam steps fire inside EVERY solver
+      iteration, threaded through the scan carry (one jitted program,
+      no per-measurement retrace).
+    * ``dm_in_scan=False`` — once per measurement before the solve (cheaper;
+      each adapted demosaicker is a fresh closure, so the solver re-traces
+      per measurement).
     """
     if config is None:
         config = admm_config_for(scene.name, denoiser, deep_demosaicking, update)
     initial_variables = variables
     opt_state = None
 
-    dm_adapt = dm_opt = None
-    if dm_update and dm_model is not None:
+    dm_adapt = dm_opt = dm_spec = dm_opt_state = None
+    if dm_update and dm_model is not None and dm_in_scan:
+        from adaptivepnp_sci_tpu.solvers.two_stage_admm import make_dm_spec
+
+        dm_spec = make_dm_spec(dm_model, dm_lr, dm_update_per_iter)
+        dm_opt_state = dm_spec.optimizer.init(dm_variables)
+    elif dm_update and dm_model is not None:
         from adaptivepnp_sci_tpu.adapt.ddnet_online import make_dm_adapt_fn
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
@@ -182,11 +195,15 @@ def run_reconstruction(
             prior=prior, variables=variables, x0_bayer=x0,
             orig_bayer=orig, demosaic_fn=demosaic_fn, opt_state=opt_state,
             key=jax.random.PRNGKey(t),
+            dm_spec=dm_spec, dm_variables=dm_variables if dm_spec else None,
+            dm_opt_state=dm_opt_state,
         )
         jax.block_until_ready(res.x_bayer)
         times.append(time.perf_counter() - t0)
         if reuse_model and update:
             variables, opt_state = res.variables, res.opt_state
+        if dm_spec is not None and reuse_model:
+            dm_variables, dm_opt_state = res.dm_variables, res.dm_opt_state
         outs.append(np.asarray(res.x_bayer))
         rgbs.append(np.asarray(res.x_rgb))
         psnrs.append(np.asarray(res.psnr_per_frame))

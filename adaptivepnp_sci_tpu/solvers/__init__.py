@@ -10,6 +10,8 @@ from adaptivepnp_sci_tpu.solvers.gap_tv import GapTVConfig, gap_tv  # noqa: F401
 from adaptivepnp_sci_tpu.solvers.gray import GrayConfig, gap_denoise_gray  # noqa: F401
 from adaptivepnp_sci_tpu.solvers.two_stage_admm import (  # noqa: F401
     ADMMConfig,
+    DmSpec,
+    make_dm_spec,
     two_stage_admm,
     two_stage_admm_batched,
     two_stage_admm_sequence,

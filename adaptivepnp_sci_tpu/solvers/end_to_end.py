@@ -58,7 +58,7 @@ def build_reconstruct(
         x0 = physics.adjoint(y_p, phi_p)
         xw, _ = _gap_tv_packed(y_p, phi_p, x0, None, warm_cfg, False)
 
-        theta, xhat, trace, variables, opt_state = runner(
+        theta, xhat, trace, variables, opt_state, _, _ = runner(
             y, phi, xw, orig if compute_metrics else None, variables, opt_state, key
         )
         x_bayer = bayer.unpack(theta)

@@ -73,18 +73,22 @@ def window_indices_mirror(n_frames: int, window: int = 5) -> Array:
     return jnp.where(idx >= n_frames, 2 * (n_frames - 1) - idx, idx)
 
 
-def ddnet_demosaic(model, variables, window: int = 5):
-    """Deep joint demosaicker callback for the solver: ``(B, H, W) -> (B, H, W, 3)``.
+def ddnet_demosaic_param(model, window: int = 5):
+    """Parametrized deep joint demosaicker for the solver:
+    ``(variables, (B, H, W)) -> (B, H, W, 3)``.
 
     Embeds each Bayer frame as sparse RGB, gathers circular 5-frame windows,
     and runs DDnet batched over all windows — the semantics of ``test_ddnet``
     / ``ddnet_seqdenoise`` (``/root/reference/packages/DDnet/DDnet_test.py:
     166-204,218-321``) without the per-frame Python loop. Spatial dims are
     reflect-padded to multiples of 4 for the two U-Net downsamplings.
+
+    The variables stay an explicit argument so the solver can thread adapted
+    demosaicker weights through its scan carry (in-scan ``dm_update``).
     """
     from adaptivepnp_sci_tpu.ops.bayer import embed_rgb
 
-    def apply(mosaic_frames: Array) -> Array:
+    def apply(variables: Any, mosaic_frames: Array) -> Array:
         b, h, w = mosaic_frames.shape
         hp, wp = (-h) % 4, (-w) % 4
         rgb = embed_rgb(mosaic_frames)  # (B, H, W, 3)
@@ -93,6 +97,17 @@ def ddnet_demosaic(model, variables, window: int = 5):
         idx = window_indices(b, window)
         out = model.apply(variables, rgb[idx])
         return out[:, :h, :w]
+
+    return apply
+
+
+def ddnet_demosaic(model, variables, window: int = 5):
+    """Fixed-weight form of :func:`ddnet_demosaic_param`:
+    ``(B, H, W) -> (B, H, W, 3)`` with the variables baked into the closure."""
+    apply_p = ddnet_demosaic_param(model, window)
+
+    def apply(mosaic_frames: Array) -> Array:
+        return apply_p(variables, mosaic_frames)
 
     return apply
 

@@ -79,6 +79,31 @@ class ADMMResult(NamedTuple):
     psnr_trace: Array       # (T,) per-iteration PSNR (zeros without orig)
     variables: Any          # possibly-adapted denoiser variables
     opt_state: Any
+    dm_variables: Any = None  # in-scan-adapted demosaicker variables
+    dm_opt_state: Any = None
+
+
+class DmSpec(NamedTuple):
+    """In-scan demosaicker adaptation (the reference's ``dm_update``,
+    ``/root/reference/packages/DDnet/DDnet_test.py:239-293``): every solver
+    iteration runs ``update_per_iter`` Adam steps on the self-consistency
+    loss ``MSE(mosaic(demosaic(x)), x)`` before demosaicking, with the DDnet
+    variables and optimizer state threaded through the scan carry."""
+
+    apply: Callable[[Any, Array], Array]  # (dm_variables, (B,H,W)) -> (B,H,W,3)
+    optimizer: optax.GradientTransformation
+    update_per_iter: int = 1
+
+
+@functools.lru_cache(maxsize=16)
+def make_dm_spec(model, lr: float = 1e-6, update_per_iter: int = 1,
+                 window: int = 5) -> DmSpec:
+    """Cached DmSpec for a DDnet-style Flax module (stable identity keys the
+    runner's jit cache across measurements)."""
+    from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic_param
+
+    return DmSpec(ddnet_demosaic_param(model, window), optax.adam(lr),
+                  update_per_iter)
 
 
 @functools.lru_cache(maxsize=16)
@@ -97,12 +122,28 @@ def _build_runner(
     optimizer: optax.GradientTransformation | None,
     compute_trace: bool,
     grad_axis: str | None = None,
+    dm_spec: DmSpec | None = None,
 ):
     """Build (and cache) the jitted whole-schedule scan for a configuration.
 
     ``grad_axis``: mapped-axis name for cross-tile/cross-shard adaptation
     gradient ``pmean`` (see :func:`two_stage_admm_tiled`).
+    ``dm_spec``: optional in-scan demosaicker adaptation; the runner then
+    demosaics with ``dm_spec.apply(dm_variables, ...)`` (carried, adapted
+    every iteration) instead of ``demosaic_fn``/``config.demosaic_method``.
+
+    The runner signature is
+    ``run(y, phi, x0, orig, variables, opt_state, key, dm_variables,
+    dm_opt_state) -> (theta, x_rgb, trace, variables, opt_state,
+    dm_variables, dm_opt_state)`` — pass/receive ``None`` dm state when
+    ``dm_spec`` is None.
     """
+    if dm_spec is not None and config.closed_form_demosaic:
+        raise ValueError("in-scan dm adaptation requires a demosaic call "
+                         "every iteration (closed_form_demosaic=False)")
+    if dm_spec is not None and config.denoiser == "tv":
+        raise ValueError("in-scan dm adaptation needs the two-stage deep "
+                         "path, not the TV solver")
     sigmas_np, adapt_mask_np = make_schedule(config.sigma, config.iters, config.adapt)
     total_iters = int(sigmas_np.shape[0])
     rho, alpha, tau = config.rho, config.alpha, config.tau
@@ -114,7 +155,8 @@ def _build_runner(
         else None
     )
 
-    def run(y_full, phi_full, x0, orig, variables, opt_state, key):
+    def run(y_full, phi_full, x0, orig, variables, opt_state, key,
+            dm_variables=None, dm_opt_state=None):
         y_p = bayer.pack(y_full)      # (4, H2, W2)
         phi_p = bayer.pack(phi_full)  # (B, 4, H2, W2)
         phi_s = physics.phi_sum(phi_p)
@@ -170,16 +212,34 @@ def _build_runner(
             )
             (x, theta, b), trace = jax.lax.scan(step, init, xs)
             zero_rgb = jnp.zeros((n_frames, h, w, 3), jnp.float32)
-            return theta, zero_rgb, trace, variables, opt_state
+            return theta, zero_rgb, trace, variables, opt_state, None, None
 
         def step(carry, inp):
-            x, theta, b, w_dual, xhat, variables, opt_state, key = carry
+            (x, theta, b, w_dual, xhat, variables, opt_state, key,
+             dm_vars, dm_opt) = carry
             sigma, adapt_flag, k = inp
 
             x = x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
             xb_full = bayer.unpack(x + b / rho)  # (B, H, W)
 
-            if config.closed_form_demosaic:
+            if dm_spec is not None:
+                # in-scan dm_update: self-consistency Adam steps on the
+                # demosaicker, then demosaic with the refined weights
+                # (DDnet_test.py:239-293 interleaved with the ADMM loop)
+                def dm_loss(v):
+                    out = dm_spec.apply(v, xb_full)
+                    return jnp.mean((bayer.mosaic(out) - xb_full) ** 2) / 3.0
+
+                for _ in range(dm_spec.update_per_iter):
+                    grads = jax.grad(dm_loss)(dm_vars)
+                    if grad_axis is not None:
+                        grads = jax.lax.pmean(grads, grad_axis)
+                    dm_updates, dm_opt = dm_spec.optimizer.update(
+                        grads, dm_opt, dm_vars
+                    )
+                    dm_vars = optax.apply_updates(dm_vars, dm_updates)
+                x_rgb = dm_spec.apply(dm_vars, xb_full)
+            elif config.closed_form_demosaic:
                 def closed_form(_):
                     num = (
                         rho * bayer.embed_rgb(bayer.unpack(x))
@@ -215,7 +275,8 @@ def _build_runner(
             b = b + (x - theta)
             w_dual = w_dual + (x_rgb - xhat)
 
-            carry = (x, theta, b, w_dual, xhat, variables, opt_state, key)
+            carry = (x, theta, b, w_dual, xhat, variables, opt_state, key,
+                     dm_vars, dm_opt)
             return carry, trace_psnr(theta)
 
         init = (
@@ -227,16 +288,17 @@ def _build_runner(
             variables,
             opt_state,
             key,
+            dm_variables,
+            dm_opt_state,
         )
         xs = (
             jnp.asarray(sigmas_np),
             jnp.asarray(adapt_mask_np),
             jnp.arange(total_iters),
         )
-        (x, theta, b, w_dual, xhat, variables, opt_state, key), trace = jax.lax.scan(
-            step, init, xs
-        )
-        return theta, xhat, trace, variables, opt_state
+        (x, theta, b, w_dual, xhat, variables, opt_state, key,
+         dm_variables, dm_opt_state), trace = jax.lax.scan(step, init, xs)
+        return theta, xhat, trace, variables, opt_state, dm_variables, dm_opt_state
 
     return jax.jit(run)
 
@@ -253,6 +315,9 @@ def two_stage_admm(
     optimizer: optax.GradientTransformation | None = None,
     opt_state: Any = None,
     key: Array | None = None,
+    dm_spec: DmSpec | None = None,
+    dm_variables: Any = None,
+    dm_opt_state: Any = None,
 ) -> ADMMResult:
     """Reconstruct one measurement.
 
@@ -264,9 +329,14 @@ def two_stage_admm(
       variables:  denoiser Flax variables (carried across measurements).
       x0_bayer:   warm start ``(B, H, W)`` (e.g. GAP-TV output).
       orig_bayer: optional ground truth for metrics.
-      demosaic_fn: optional deep demosaicker ``(B,H,W)->(B,H,W,3)`` (DDnet).
+      demosaic_fn: optional fixed-weight deep demosaicker
+        ``(B,H,W)->(B,H,W,3)`` (DDnet).
       optimizer/opt_state: optax transform for online adaptation.
       key:        PRNG key for adaptation input noise.
+      dm_spec/dm_variables/dm_opt_state: in-scan demosaicker adaptation
+        (see :class:`DmSpec` / :func:`make_dm_spec`); the refined state is
+        returned in ``ADMMResult.dm_variables``/``.dm_opt_state`` for
+        cross-measurement carry-over.
     """
     y = jnp.asarray(y_bayer, jnp.float32)
     phi = jnp.asarray(phi_bayer, jnp.float32)
@@ -293,12 +363,16 @@ def two_stage_admm(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    if dm_spec is not None and dm_opt_state is None:
+        dm_opt_state = dm_spec.optimizer.init(dm_variables)
+
     orig = jnp.asarray(orig_bayer) if orig_bayer is not None else None
     runner = _build_runner(
-        config, prior, demosaic_fn, optimizer, orig_bayer is not None
+        config, prior, demosaic_fn, optimizer, orig_bayer is not None,
+        None, dm_spec,
     )
-    theta, xhat, trace, variables, opt_state = runner(
-        y, phi, x0, orig, variables, opt_state, key
+    theta, xhat, trace, variables, opt_state, dm_variables, dm_opt_state = runner(
+        y, phi, x0, orig, variables, opt_state, key, dm_variables, dm_opt_state
     )
 
     x_bayer = bayer.unpack(theta)
@@ -307,7 +381,8 @@ def two_stage_admm(
         s = metrics.ssim_per_frame(orig, x_bayer)
     else:
         p = s = jnp.zeros((x_bayer.shape[0],), jnp.float32)
-    return ADMMResult(xhat, x_bayer, p, s, trace, variables, opt_state)
+    return ADMMResult(xhat, x_bayer, p, s, trace, variables, opt_state,
+                      dm_variables, dm_opt_state)
 
 
 def two_stage_admm_sequence(
@@ -319,6 +394,8 @@ def two_stage_admm_sequence(
     x0_seq: Array | None = None,
     orig_seq: Array | None = None,
     optimizer: optax.GradientTransformation | None = None,
+    dm_spec: DmSpec | None = None,
+    dm_variables: Any = None,
 ) -> ADMMResult:
     """Sequential multi-measurement reconstruction as ONE fused program.
 
@@ -327,7 +404,9 @@ def two_stage_admm_sequence(
     the reference's ``reuse_model`` driver loop
     (``two_stage_ADMM_Online_FFD_Warm.py:241,270-275``): refined weights from
     measurement t initialize measurement t+1, and the whole scene runs in a
-    single device dispatch. Results gain a leading ``T`` axis.
+    single device dispatch. Results gain a leading ``T`` axis. With
+    ``dm_spec``, the in-scan-adapted demosaicker weights are carried across
+    measurements the same way.
     """
     t = y_seq.shape[0]
     y = jnp.asarray(y_seq, jnp.float32)
@@ -345,32 +424,38 @@ def two_stage_admm_sequence(
             optimizer = _default_adam(config.adapt.lr)
         opt_state = optimizer.init(variables["params"])
 
+    dm_opt_state = None
+    if dm_spec is not None:
+        dm_opt_state = dm_spec.optimizer.init(dm_variables)
+
     orig = jnp.asarray(orig_seq) if orig_seq is not None else None
-    runner = _build_runner(config, prior, None, optimizer, orig is not None)
+    runner = _build_runner(config, prior, None, optimizer, orig is not None,
+                           None, dm_spec)
     keys = jax.random.split(jax.random.PRNGKey(0), t)
 
     @jax.jit
-    def run_all(y, x0, orig, variables, opt_state, keys):
+    def run_all(y, x0, orig, variables, opt_state, keys, dm_vars, dm_opt):
         def step(carry, inp):
-            variables, opt_state = carry
+            variables, opt_state, dm_vars, dm_opt = carry
             if orig is not None:
                 y_i, x0_i, orig_i, key_i = inp
             else:
                 y_i, x0_i, key_i = inp
                 orig_i = None
-            theta, xhat, trace, variables, opt_state = runner(
-                y_i, phi, x0_i, orig_i, variables, opt_state, key_i
+            theta, xhat, trace, variables, opt_state, dm_vars, dm_opt = runner(
+                y_i, phi, x0_i, orig_i, variables, opt_state, key_i,
+                dm_vars, dm_opt,
             )
-            return (variables, opt_state), (theta, xhat, trace)
+            return (variables, opt_state, dm_vars, dm_opt), (theta, xhat, trace)
 
         xs = (y, x0, orig, keys) if orig is not None else (y, x0, keys)
-        (variables, opt_state), (theta, xhat, trace) = jax.lax.scan(
-            step, (variables, opt_state), xs
+        (variables, opt_state, dm_vars, dm_opt), (theta, xhat, trace) = (
+            jax.lax.scan(step, (variables, opt_state, dm_vars, dm_opt), xs)
         )
-        return theta, xhat, trace, variables, opt_state
+        return theta, xhat, trace, variables, opt_state, dm_vars, dm_opt
 
-    theta, xhat, trace, out_vars, out_opt = run_all(
-        y, x0, orig, variables, opt_state, keys
+    theta, xhat, trace, out_vars, out_opt, out_dm, out_dm_opt = run_all(
+        y, x0, orig, variables, opt_state, keys, dm_variables, dm_opt_state
     )
     x_bayer = jax.vmap(bayer.unpack)(theta)
     if orig is not None:
@@ -378,7 +463,8 @@ def two_stage_admm_sequence(
         s = jax.vmap(metrics.ssim_per_frame)(orig, x_bayer)
     else:
         p = s = jnp.zeros(x_bayer.shape[:2], jnp.float32)
-    return ADMMResult(xhat, x_bayer, p, s, trace, out_vars, out_opt)
+    return ADMMResult(xhat, x_bayer, p, s, trace, out_vars, out_opt,
+                      out_dm, out_dm_opt)
 
 
 def two_stage_admm_tiled(
@@ -452,7 +538,7 @@ def two_stage_admm_tiled(
 
     def one(y_i, phi_i, orig_i, key_i):
         x0 = physics.adjoint(bayer.pack(y_i), bayer.pack(phi_i))
-        return runner(y_i, phi_i, x0, orig_i, variables, opt_state, key_i)
+        return runner(y_i, phi_i, x0, orig_i, variables, opt_state, key_i)[:5]
 
     if orig is not None:
         theta, xhat, trace, out_vars, out_opt = jax.vmap(
@@ -535,13 +621,13 @@ def two_stage_admm_batched(
         theta, xhat, trace, out_vars, out_opt = jax.vmap(
             lambda y_i, x0_i, o_i, k_i: runner(
                 y_i, phi, x0_i, o_i, variables, opt_state, k_i
-            )
+            )[:5]
         )(y, x0, orig, keys)
     else:
         theta, xhat, trace, out_vars, out_opt = jax.vmap(
             lambda y_i, x0_i, k_i: runner(
                 y_i, phi, x0_i, None, variables, opt_state, k_i
-            )
+            )[:5]
         )(y, x0, keys)
 
     x_bayer = jax.vmap(bayer.unpack)(theta)

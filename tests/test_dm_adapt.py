@@ -32,6 +32,140 @@ def test_dm_adapt_reduces_consistency_loss():
     assert after < before
 
 
+def test_in_scan_dm_update_changes_trajectory():
+    """Interleaved (in-scan) dm adaptation must produce a different solver
+    trajectory than fixed-weight DDnet demosaicking AND than pipeline-level
+    (once-before-solve) adaptation, and must return refined dm variables."""
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic, ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+        ADMMConfig,
+        make_dm_spec,
+        two_stage_admm,
+    )
+
+    s = make_scene(b=8, h=16, w=16, seed=23)
+    den = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    den_vars = den.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.float32(0.1))
+    dm_model, dm_vars = _tiny_ddnet()
+    cfg = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+                     demosaic_method="ddnet")
+    prior = ffdnet_prior(den)
+
+    # fixed-weight DDnet demosaic
+    fixed = two_stage_admm(
+        s.meas, s.mask, cfg, prior=prior, variables=den_vars,
+        x0_bayer=s.orig_bayer, demosaic_fn=ddnet_demosaic(dm_model, dm_vars),
+    )
+    # in-scan adaptation (large lr so 3 iterations visibly move the weights)
+    spec = make_dm_spec(dm_model, lr=1e-3, update_per_iter=1)
+    inscan = two_stage_admm(
+        s.meas, s.mask, cfg, prior=prior, variables=den_vars,
+        x0_bayer=s.orig_bayer, dm_spec=spec, dm_variables=dm_vars,
+    )
+    # pipeline-level: adapt once before the solve, then fixed weights
+    adapt = make_dm_adapt_fn(dm_model, lr=1e-3, update_per_iter=1)
+    pre_vars, _, _ = adapt(dm_vars, adapt.init_opt(dm_vars),
+                           jnp.asarray(s.orig_bayer))
+    prelevel = two_stage_admm(
+        s.meas, s.mask, cfg, prior=prior, variables=den_vars,
+        x0_bayer=s.orig_bayer, demosaic_fn=ddnet_demosaic(dm_model, pre_vars),
+    )
+
+    assert np.isfinite(np.asarray(inscan.x_bayer)).all()
+    assert not np.allclose(np.asarray(inscan.x_bayer), np.asarray(fixed.x_bayer))
+    assert not np.allclose(np.asarray(inscan.x_bayer),
+                           np.asarray(prelevel.x_bayer))
+    # refined dm weights returned and different from the input weights
+    leaf_in = jax.tree_util.tree_leaves(dm_vars)[0]
+    leaf_out = jax.tree_util.tree_leaves(inscan.dm_variables)[0]
+    assert leaf_out.shape == leaf_in.shape
+    assert not np.allclose(np.asarray(leaf_out), np.asarray(leaf_in))
+
+
+def test_in_scan_dm_update_reduces_consistency_loss():
+    """The carried dm weights should fit the scene better than the initial
+    ones under the self-consistency objective they were adapted on."""
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+        ADMMConfig,
+        make_dm_spec,
+        two_stage_admm,
+    )
+
+    s = make_scene(b=8, h=16, w=16, seed=24)
+    den = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    den_vars = den.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.float32(0.1))
+    dm_model, dm_vars = _tiny_ddnet()
+    cfg = ADMMConfig(sigma=(25 / 255,), iters=(4,), denoiser="ffdnet",
+                     demosaic_method="ddnet")
+    spec = make_dm_spec(dm_model, lr=1e-3, update_per_iter=2)
+    res = two_stage_admm(
+        s.meas, s.mask, cfg, prior=ffdnet_prior(den), variables=den_vars,
+        x0_bayer=s.orig_bayer, dm_spec=spec, dm_variables=dm_vars,
+    )
+    frames = jnp.asarray(s.orig_bayer)
+    before = float(dm_consistency_loss(dm_model, dm_vars, frames))
+    after = float(dm_consistency_loss(dm_model, res.dm_variables, frames))
+    assert after < before
+
+
+def test_sequence_carries_dm_state():
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+        ADMMConfig,
+        make_dm_spec,
+        two_stage_admm_sequence,
+    )
+
+    s = make_scene(b=4, h=16, w=16, seed=25)
+    den = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    den_vars = den.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.float32(0.1))
+    dm_model, dm_vars = _tiny_ddnet()
+    cfg = ADMMConfig(sigma=(25 / 255,), iters=(2,), denoiser="ffdnet",
+                     demosaic_method="ddnet")
+    spec = make_dm_spec(dm_model, lr=1e-3, update_per_iter=1)
+    y_seq = jnp.stack([jnp.asarray(s.meas)] * 2)
+    res = two_stage_admm_sequence(
+        y_seq, s.mask, cfg, prior=ffdnet_prior(den), variables=den_vars,
+        x0_seq=jnp.stack([jnp.asarray(s.orig_bayer)] * 2),
+        dm_spec=spec, dm_variables=dm_vars,
+    )
+    assert np.isfinite(np.asarray(res.x_bayer)).all()
+    leaf_in = jax.tree_util.tree_leaves(dm_vars)[0]
+    leaf_out = jax.tree_util.tree_leaves(res.dm_variables)[0]
+    assert not np.allclose(np.asarray(leaf_out), np.asarray(leaf_in))
+
+
+def test_pipeline_dm_in_scan():
+    from adaptivepnp_sci_tpu.data.mat_io import SceneData
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.pipelines import run_reconstruction
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import ADMMConfig
+
+    s = make_scene(b=8, h=16, w=16, seed=26)
+    scene = SceneData("synth", s.meas[None], s.mask, s.orig_bayer[None])
+    den = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    den_vars = den.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.float32(0.1))
+    dm_model, dm_vars = _tiny_ddnet()
+    out = run_reconstruction(
+        scene, ffdnet_prior(den), den_vars,
+        config=ADMMConfig(sigma=(25 / 255,), iters=(2,), denoiser="ffdnet",
+                          demosaic_method="ddnet"),
+        warm_start=s.orig_bayer[None],
+        dm_model=dm_model, dm_variables=dm_vars, dm_update=True, dm_lr=1e-4,
+        dm_in_scan=True,
+    )
+    assert np.isfinite(out.x_bayer).all()
+
+
 def test_pipeline_dm_update():
     from adaptivepnp_sci_tpu.data.mat_io import SceneData
     from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
