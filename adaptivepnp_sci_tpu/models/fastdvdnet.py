@@ -11,6 +11,14 @@ NHWC; the window axis is a batch axis (the reference loops frames in Python,
 ``fastdvdnet.py:113-139``). ``train=False`` uses running BN stats — also the
 mode used while *adapting* the convs online (BN-freeze,
 ``test_fastdvdnet.py:374-379``).
+
+TPU hot path: :meth:`FastDVDnet.seq_circular` denoises a whole circular
+B-frame sequence (``fastdvdnet.py:82-146`` semantics) with temp1 evaluated
+ONCE per distinct triplet. The per-window form evaluates temp1 on 3 triplets
+per window (3B evaluations for B windows), but circular windows share
+triplets — only the B consecutive triplets ``(c-1, c, c+1) mod B`` are
+distinct, so the sequence needs B temp1 + B temp2 evaluations instead of
+3B + B: identical math (shared weights, frozen BN), half the conv work.
 """
 
 from __future__ import annotations
@@ -34,16 +42,15 @@ class CvBlock(nn.Module):
     """(Conv => BN => ReLU) x 2."""
 
     out_ch: int
-    train: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         x = _conv(x, self.out_ch, "conv0")
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
         x = _conv(x, self.out_ch, "conv1")
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         return nn.relu(x)
 
@@ -54,57 +61,53 @@ class InputCvBlock(nn.Module):
     num_in_frames: int
     out_ch: int
     interm_ch: int = 30
-    train: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         x = _conv(x, self.num_in_frames * self.interm_ch, "conv0",
                   groups=self.num_in_frames)
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
         x = _conv(x, self.out_ch, "conv1")
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         return nn.relu(x)
 
 
 class DownBlock(nn.Module):
     out_ch: int
-    train: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         # torch pads (1,1) symmetrically for the strided conv; XLA "SAME"
         # would pad (0,1) and sample different positions.
         x = nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                     use_bias=False, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
-        return CvBlock(self.out_ch, self.train, name="cvblock")(x)
+        return CvBlock(self.out_ch, name="cvblock")(x, train)
 
 
 class UpBlock(nn.Module):
     out_ch: int
-    train: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        x = CvBlock(x.shape[-1], self.train, name="cvblock")(x)
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = CvBlock(x.shape[-1], name="cvblock")(x, train)
         x = _conv(x, self.out_ch * 4, "conv0")
         return depth_to_space(x, 2)
 
 
 class OutputCvBlock(nn.Module):
     out_ch: int
-    train: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, train: bool = False) -> Array:
         in_ch = x.shape[-1]
         x = _conv(x, in_ch, "conv0")
-        x = nn.BatchNorm(use_running_average=not self.train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
         return _conv(x, self.out_ch, "conv1")
@@ -115,20 +118,27 @@ class DenBlock(nn.Module):
 
     num_color_channels: int = 3
     chs: tuple[int, int, int] = (32, 64, 128)
-    train: bool = False
 
     @nn.compact
-    def __call__(self, in0: Array, in1: Array, in2: Array, noise_map: Array) -> Array:
+    def __call__(self, in0: Array, in1: Array, in2: Array, noise_map: Array,
+                 train: bool = False) -> Array:
         x = jnp.concatenate(
             [in0, noise_map, in1, noise_map, in2, noise_map], axis=-1
         )
-        x0 = InputCvBlock(3, self.chs[0], train=self.train, name="inc")(x)
-        x1 = DownBlock(self.chs[1], self.train, name="downc0")(x0)
-        x2 = DownBlock(self.chs[2], self.train, name="downc1")(x1)
-        x2 = UpBlock(self.chs[1], self.train, name="upc2")(x2)
-        x1 = UpBlock(self.chs[0], self.train, name="upc1")(x1 + x2)
-        x = OutputCvBlock(self.num_color_channels, self.train, name="outc")(x0 + x1)
+        x0 = InputCvBlock(3, self.chs[0], name="inc")(x, train)
+        x1 = DownBlock(self.chs[1], name="downc0")(x0, train)
+        x2 = DownBlock(self.chs[2], name="downc1")(x1, train)
+        x2 = UpBlock(self.chs[1], name="upc2")(x2, train)
+        x1 = UpBlock(self.chs[0], name="upc1")(x1 + x2, train)
+        x = OutputCvBlock(self.num_color_channels, name="outc")(x0 + x1, train)
         return in1 - x
+
+
+# per-block remat: bounds backward-pass activation memory to one DenBlock
+# (online adaptation differentiates through 8 windows at full resolution —
+# unremat'd that is ~25GB of activations). ``train`` is static (it selects
+# the BatchNorm branch at trace time).
+_RematDenBlock = nn.remat(DenBlock, static_argnums=(5,))
 
 
 class FastDVDnet(nn.Module):
@@ -137,7 +147,10 @@ class FastDVDnet(nn.Module):
     num_input_frames: int = 5
     num_color_channels: int = 3
 
-    @nn.compact
+    def setup(self):
+        self.temp1 = _RematDenBlock(self.num_color_channels)
+        self.temp2 = _RematDenBlock(self.num_color_channels)
+
     def __call__(self, windows: Array, sigma: Array, train: bool = False) -> Array:
         n, nf, h, w, c = windows.shape
         assert nf == self.num_input_frames, windows.shape
@@ -146,20 +159,13 @@ class FastDVDnet(nn.Module):
         )
         f = [windows[:, i] for i in range(nf)]
 
-        # per-block remat: bounds backward-pass activation memory to one
-        # DenBlock (online adaptation differentiates through 8 windows at
-        # full resolution — unremat'd that is ~25GB of activations)
-        Block = nn.remat(DenBlock, static_argnums=())
-        temp1 = Block(self.num_color_channels, train=train, name="temp1")
-        temp2 = Block(self.num_color_channels, train=train, name="temp2")
-
         if train:
             # train-mode BatchNorm statistics must be computed per call
             # (reference parity); keep the three triplets separate
-            x20 = temp1(f[0], f[1], f[2], noise_map)
-            x21 = temp1(f[1], f[2], f[3], noise_map)
-            x22 = temp1(f[2], f[3], f[4], noise_map)
-            return temp2(x20, x21, x22, noise_map).astype(jnp.float32)
+            x20 = self.temp1(f[0], f[1], f[2], noise_map, True)
+            x21 = self.temp1(f[1], f[2], f[3], noise_map, True)
+            x22 = self.temp1(f[2], f[3], f[4], noise_map, True)
+            return self.temp2(x20, x21, x22, noise_map, True).astype(jnp.float32)
 
         # eval: the three shared-weight triplet calls fold into ONE batched
         # call (3N) — identical math with frozen BN, 3x fewer conv launches
@@ -167,6 +173,29 @@ class FastDVDnet(nn.Module):
         in1 = jnp.concatenate([f[1], f[2], f[3]], axis=0)
         in2 = jnp.concatenate([f[2], f[3], f[4]], axis=0)
         nm3 = jnp.concatenate([noise_map] * 3, axis=0)
-        x2 = temp1(in0, in1, in2, nm3)
+        x2 = self.temp1(in0, in1, in2, nm3, False)
         x20, x21, x22 = x2[:n], x2[n : 2 * n], x2[2 * n :]
-        return temp2(x20, x21, x22, noise_map).astype(jnp.float32)
+        return self.temp2(x20, x21, x22, noise_map, False).astype(jnp.float32)
+
+    def seq_circular(self, frames: Array, sigma: Array) -> Array:
+        """Denoise a circular B-frame sequence: ``(B, H, W, C) -> (B, H, W, C)``.
+
+        Equivalent to gathering the B circular 5-frame windows
+        (``window_indices``) and calling ``__call__`` per window, but temp1
+        runs once per DISTINCT triplet (B evaluations, not 3B): window f's
+        triplets are centered at ``f-1, f, f+1 (mod B)``, so across all B
+        windows only the B consecutive circular triplets occur. Eval-mode
+        only (frozen BN — the solver/adaptation hot path).
+        """
+        b, h, w, c = frames.shape
+        noise_map = jnp.broadcast_to(
+            jnp.asarray(sigma, frames.dtype).reshape(-1, 1, 1, 1), (b, h, w, 1)
+        )
+        prev = jnp.roll(frames, 1, axis=0)    # frame c-1 at row c
+        nxt = jnp.roll(frames, -1, axis=0)    # frame c+1 at row c
+        t1 = self.temp1(prev, frames, nxt, noise_map, False)
+        out = self.temp2(
+            jnp.roll(t1, 1, axis=0), t1, jnp.roll(t1, -1, axis=0),
+            noise_map, False,
+        )
+        return out.astype(jnp.float32)

@@ -116,17 +116,28 @@ def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None,
                   adapt_window_chunk: int | None = None) -> Prior:
     """FastDVDnet temporal prior over circular 5-frame windows.
 
-    ``window_chunk=None`` batches all B windows in one model call (best MXU
-    utilization at small/medium resolution). At 512² the activations of
-    simultaneous U-Net windows compete with the solver loop state for HBM:
-    ``window_chunk=k`` processes windows in sequential groups of k via
-    ``lax.scan`` (peak memory = one group, like the reference's per-frame
-    loop but k-wide). ``adapt_window_chunk`` optionally tightens the group
-    size further inside the adaptation gradient, where stored residuals are
-    the dominant memory term.
+    Default path (``window == 5``, no chunking): the model's
+    ``seq_circular`` method — temp1 evaluated once per DISTINCT circular
+    triplet (B evaluations instead of 3B; window f's triplets are centered
+    at f-1, f, f+1 mod B, so consecutive windows share two of three).
+    Identical math to per-window evaluation with frozen BN, at half the
+    conv work and a third of the temp1 activation footprint.
+
+    ``window_chunk=k`` falls back to explicit window gathering, processed
+    in sequential groups of k via ``lax.scan`` (peak memory = one group,
+    like the reference's per-frame loop but k-wide) — kept for
+    memory-constrained adaptation at large resolutions.
+    ``adapt_window_chunk`` optionally tightens the group size further
+    inside the adaptation gradient, where stored residuals are the
+    dominant memory term.
     """
 
+    def shared_triplet(params, rgb: Array, sigma: Array) -> Array:
+        return model.apply(params, rgb, sigma, method="seq_circular")
+
     def chunked(chunk):
+        if chunk is None and window == 5:
+            return shared_triplet
         def apply(params, rgb: Array, sigma: Array) -> Array:
             b = rgb.shape[0]
             windows = rgb[window_indices(b, window)]

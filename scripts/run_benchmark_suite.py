@@ -97,10 +97,10 @@ def main(out_path: str = "RESULTS.md") -> None:
 
         fmodel = FastDVDnet()
         fvars = jax.device_put(load_checkpoint_variables(fdvd_path))
-        # sequential window groups: batched U-Net windows at 512² + the
-        # solver loop state exceed single-chip HBM; adaptation backward needs
-        # the tightest groups
-        fprior = fastdvd_prior(fmodel, window_chunk=4, adapt_window_chunk=2)
+        # shared-triplet sequence path: temp1 once per distinct circular
+        # triplet (B evals, not 3B) — half the conv work and a third of the
+        # temp1 activation footprint, so no window chunking needed at 512²
+        fprior = fastdvd_prior(fmodel)
         # the reference FastDVD driver always adapts online (update=True)
         cfg3 = ADMMConfig(sigma=(12 / 255, 6 / 255), iters=(24, 12),
                           denoiser="fastdvd",

@@ -175,3 +175,21 @@ def test_fastdvdnet_train_mode_updates_stats(torch_model):
     assert any(
         not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(before, after)
     )
+
+
+def test_seq_circular_matches_per_window(torch_model):
+    """The shared-triplet sequence path (temp1 once per distinct circular
+    triplet) must equal explicit per-window evaluation — same weights,
+    frozen BN, identical math."""
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    variables = convert.fastdvdnet_variables(sd)
+    model = FastDVDnet()
+    rng = np.random.default_rng(7)
+    rgb = jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32))
+    sigma = jnp.float32(20 / 255)
+
+    windows = rgb[window_indices(8, 5)]
+    want = model.apply(variables, windows, sigma)
+    got = model.apply(variables, rgb, sigma, method="seq_circular")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
