@@ -50,6 +50,9 @@ def fastdvd_task(
     sigma_range: tuple[float, float] = (5 / 255, 55 / 255),
     demosaic_aug: bool = False,
     lipschitz_penalty: float = 0.0,
+    spectral_penalty: float = 0.0,
+    spectral_iters: int = 2,
+    spectral_target: float = 1.0,
 ) -> TrainTask:
     """``demosaic_aug`` passes half the inputs through mosaic->Malvar before
     noising: inside the PnP solver the denoiser sees demosaicked ADMM
@@ -60,7 +63,22 @@ def fastdvd_task(
     ``relu(||f(x+d)-f(x)||^2/||d||^2 - 1)``: plug-and-play convergence needs
     a (near-)nonexpansive denoiser, which plain MSE training does not give
     (PnP-ADMM fixed-point theory, e.g. Chan et al. 2017 / Ryu et al. 2019).
-    Costs one extra forward per step."""
+    Costs one extra forward per step. Measured round 1: it did NOT rescue
+    stability (21.1 dB in-loop) — superseded by ``spectral_penalty``.
+
+    ``spectral_penalty`` is the deterministic replacement: per-sample power
+    iteration (``spectral_iters`` rounds of J^T J via jvp+vjp) estimates the
+    top singular value of the denoiser's input->output Jacobian and penalizes
+    ``relu(sigma_max - spectral_target)^2``. Two details matter:
+
+    * the Jacobian is taken through the EVAL-mode network (frozen BN
+      running stats) — the operator the PnP solver actually iterates; the
+      stochastic penalty probed the train-mode operator, one reason it
+      failed;
+    * power iteration targets the top singular DIRECTION instead of a
+      random perturbation, so the penalty bites exactly where the ADMM
+      feedback loop can amplify.
+    """
 
     def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -110,6 +128,32 @@ def fastdvd_task(
             ratio = num / jnp.maximum(den, 1e-12)
             loss = loss + lipschitz_penalty * jnp.mean(
                 jax.nn.relu(ratio - 1.0)
+            )
+        if spectral_penalty > 0:
+            k9 = jax.random.fold_in(key, 9)
+
+            def f(x):
+                # eval-mode operator: frozen BN — what the solver iterates
+                return model.apply(variables, x, sigma)
+
+            def _norm(v, axes):
+                return jnp.sqrt(jnp.maximum(
+                    jnp.sum(v * v, axis=axes, keepdims=True), 1e-20))
+
+            u = jax.random.normal(k9, noisy.shape, noisy.dtype)
+            u = u / _norm(u, (1, 2, 3, 4))
+            for _ in range(spectral_iters):
+                _, ju = jax.jvp(f, (noisy,), (u,))
+                _, vjp_fn = jax.vjp(f, noisy)
+                u = vjp_fn(ju)[0]
+                u = u / _norm(u, (1, 2, 3, 4))
+            u = jax.lax.stop_gradient(u)
+            _, ju = jax.jvp(f, (noisy,), (u,))
+            # per-sample sigma_max estimate: ||J u|| / ||u|| with ||u|| = 1
+            sig_max = jnp.sqrt(jnp.maximum(
+                jnp.sum(ju * ju, axis=(1, 2, 3)), 1e-20))
+            loss = loss + spectral_penalty * jnp.mean(
+                jax.nn.relu(sig_max - spectral_target) ** 2
             )
         return loss, mutated
 

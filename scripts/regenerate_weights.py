@@ -7,7 +7,7 @@ synthetic benchmark scenes — weights are distribution-matched to the
 benchmarks here and functional stand-ins elsewhere; the converters accept
 upstream checkpoints whenever real ones are available.
 
-Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight]
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir]
 Saves orbax checkpoints under weights/<name>/final.
 """
 
@@ -26,7 +26,8 @@ from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
 
 
 def main(network: str, steps: int, textured: bool = False,
-         lipschitz: float = 0.0) -> None:
+         lipschitz: float = 0.0, spectral: float = 0.0,
+         out_dir: str | None = None) -> None:
     # Data stays device-resident: per-step batch gathers run on-chip instead
     # of re-uploading ~8MB over the (possibly remote) host link every step.
     # NOTE: defaults reproduce the shipped weights. Textured data / longer
@@ -43,7 +44,8 @@ def main(network: str, steps: int, textured: bool = False,
         model = FastDVDnet()
         variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
         task = fastdvd_task(model, demosaic_aug=True,
-                            lipschitz_penalty=lipschitz)
+                            lipschitz_penalty=lipschitz,
+                            spectral_penalty=spectral)
         lr = 1e-3
     elif network == "ddnet":
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
@@ -60,12 +62,12 @@ def main(network: str, steps: int, textured: bool = False,
         task, variables,
         TrainerConfig(lr=lr, steps_per_epoch=spe,
                       milestones=(steps // spe * 2 // 3, steps // spe * 5 // 6),
-                      ckpt_dir=f"weights/{network}", ckpt_every_epochs=10**9,
+                      ckpt_dir=out_dir or f"weights/{network}", ckpt_every_epochs=10**9,
                       seed=0),
     )
     losses = trainer.fit(batch_iterator(clips, 32, seed=0), max_steps=steps,
                          log_every=200)
-    trainer.save(f"weights/{network}/final")
+    trainer.save(f"{out_dir or ('weights/' + network)}/final")
     print(f"{network}: {trainer.step} steps, loss {losses[0]:.5f} -> {losses[-1]:.5f}")
 
 
@@ -75,4 +77,6 @@ if __name__ == "__main__":
         int(sys.argv[2]) if len(sys.argv) > 2 else 3000,
         textured=len(sys.argv) > 3 and sys.argv[3] == "textured",
         lipschitz=float(sys.argv[4]) if len(sys.argv) > 4 else 0.0,
+        spectral=float(sys.argv[5]) if len(sys.argv) > 5 else 0.0,
+        out_dir=sys.argv[6] if len(sys.argv) > 6 else None,
     )

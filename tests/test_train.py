@@ -153,3 +153,51 @@ def test_patch_db_roundtrip(tmp_path):
     write_patch_db(path, patches)
     back = read_patch_db(path)
     np.testing.assert_array_equal(back, patches)
+
+
+def _sigma_max_eval(model, variables, clips, key, iters=6):
+    """Power-iteration estimate of the eval-mode Jacobian's top singular
+    value, averaged over the batch (independent oracle for the penalty)."""
+    sigma = jnp.full((clips.shape[0],), 20 / 255)
+
+    def f(x):
+        return model.apply(variables, x, sigma)
+
+    u = jax.random.normal(key, clips.shape, jnp.float32)
+    u = u / jnp.sqrt(jnp.sum(u * u, axis=(1, 2, 3, 4), keepdims=True))
+    for _ in range(iters):
+        _, ju = jax.jvp(f, (clips,), (u,))
+        _, vjp_fn = jax.vjp(f, clips)
+        u = vjp_fn(ju)[0]
+        u = u / jnp.sqrt(jnp.maximum(
+            jnp.sum(u * u, axis=(1, 2, 3, 4), keepdims=True), 1e-20))
+    _, ju = jax.jvp(f, (clips,), (u,))
+    return float(jnp.mean(jnp.sqrt(jnp.sum(ju * ju, axis=(1, 2, 3)))))
+
+
+def test_spectral_penalty_contracts_eval_jacobian():
+    """Training WITH the power-iteration spectral penalty must end with a
+    smaller eval-mode Jacobian norm than training without it."""
+    model = FastDVDnet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)),
+                           jnp.float32(0.1))
+    clips = synthetic_video_dataset(8, length=5, size=16, seed=3)
+    probe = jnp.asarray(clips[:4])
+    key = jax.random.PRNGKey(11)
+
+    def run(penalty):
+        trainer = Trainer(
+            fastdvd_task(model, spectral_penalty=penalty, spectral_iters=2,
+                         spectral_target=0.8),
+            variables,
+            TrainerConfig(lr=2e-3, steps_per_epoch=100,
+                          milestones=(10**4, 2 * 10**4)),
+        )
+        trainer.fit(batch_iterator(clips, 4, seed=0), max_steps=25,
+                    log_every=10**9)
+        return _sigma_max_eval(model, trainer.variables, probe, key)
+
+    sig_plain = run(0.0)
+    sig_sn = run(5.0)
+    assert np.isfinite(sig_plain) and np.isfinite(sig_sn)
+    assert sig_sn < sig_plain
