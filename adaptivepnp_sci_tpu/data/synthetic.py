@@ -55,14 +55,54 @@ def _smooth_video(b: int, h: int, w: int, rng: np.random.Generator) -> np.ndarra
     return (video - lo) / max(hi - lo, 1e-6)
 
 
+def _texture_video(length: int, h: int, rng: np.random.Generator,
+                   w: int | None = None) -> np.ndarray:
+    """Drifting oriented gratings + hard-edged rectangles, zero-mean-ish."""
+    w = h if w is None else w
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yy, xx = yy / h, xx / w
+    out = np.zeros((length, h, w, 3), np.float32)
+    # gratings
+    for _ in range(rng.integers(1, 4)):
+        theta = rng.uniform(0, np.pi)
+        freq = rng.uniform(4, 24)
+        phase_v = rng.uniform(-0.5, 0.5)
+        amp = rng.uniform(0.05, 0.25)
+        color = rng.uniform(0.5, 1.0, 3).astype(np.float32)
+        base = freq * (np.cos(theta) * xx + np.sin(theta) * yy)
+        for t in range(length):
+            g = amp * np.sin(2 * np.pi * (base + phase_v * t))
+            out[t] += g[..., None] * color
+    # rectangles with hard edges
+    for _ in range(rng.integers(1, 4)):
+        h0 = rng.integers(0, h // 2)
+        w0 = rng.integers(0, w // 2)
+        hh = rng.integers(h // 8, h // 2)
+        ww = rng.integers(w // 8, w // 2)
+        vy, vx = rng.integers(-2, 3, 2)
+        amp = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
+        for t in range(length):
+            y0 = int(np.clip(h0 + vy * t, 0, h - 2))
+            x0 = int(np.clip(w0 + vx * t, 0, w - 2))
+            out[t, y0 : y0 + hh, x0 : x0 + ww] += amp
+    return out
+
+
 def make_scene(
     b: int = 8,
     h: int = 512,
     w: int = 512,
     seed: int = 42,
     n_meas: int = 1,
+    textured: bool = False,
 ) -> Scene:
-    """Synthesize ``n_meas`` CACTI snapshots of a B-frame RGB video."""
+    """Synthesize ``n_meas`` CACTI snapshots of a B-frame RGB video.
+
+    ``textured=True`` overlays drifting oriented gratings and hard-edged
+    rectangles on the smooth blob scene — a harder regime (high-frequency
+    content the priors must preserve) that lands in realistic dB ranges,
+    closer to the reference's real mid-scale scenes than the smooth default.
+    """
     rng = np.random.default_rng(seed)
     mask = (rng.random((b, h, w)) > 0.5).astype(np.float32)
 
@@ -73,6 +113,8 @@ def make_scene(
     metas, origs_b, origs_rgb = [], [], []
     for i in range(n_meas):
         rgb = _smooth_video(b, h, w, rng)
+        if textured:
+            rgb = np.clip(rgb + _texture_video(b, h, rng, w), 0.0, 1.0)
         bayer = (rgb * cfa).sum(-1)  # (B, H, W)
         metas.append((bayer * mask).sum(0))  # (H, W)
         origs_b.append(bayer)

@@ -71,7 +71,7 @@ def synthetic_video_dataset(
     rectangles) drifting over time — smooth blobs alone teach a denoiser
     nothing about preserving high-frequency detail.
     """
-    from adaptivepnp_sci_tpu.data.synthetic import _smooth_video
+    from adaptivepnp_sci_tpu.data.synthetic import _smooth_video, _texture_video
 
     rng = np.random.default_rng(seed)
     clips = []
@@ -81,34 +81,6 @@ def synthetic_video_dataset(
             clip = np.clip(clip + _texture_video(length, size, rng), 0, 1)
         clips.append(clip)
     return np.stack(clips)
-
-
-def _texture_video(length: int, size: int, rng: np.random.Generator) -> np.ndarray:
-    """Drifting oriented gratings + hard-edged rectangles, zero-mean-ish."""
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    out = np.zeros((length, size, size, 3), np.float32)
-    # gratings
-    for _ in range(rng.integers(1, 4)):
-        theta = rng.uniform(0, np.pi)
-        freq = rng.uniform(4, 24)
-        phase_v = rng.uniform(-0.5, 0.5)
-        amp = rng.uniform(0.05, 0.25)
-        color = rng.uniform(0.5, 1.0, 3).astype(np.float32)
-        base = freq * (np.cos(theta) * xx + np.sin(theta) * yy)
-        for t in range(length):
-            g = amp * np.sin(2 * np.pi * (base + phase_v * t))
-            out[t] += g[..., None] * color
-    # rectangles with hard edges
-    for _ in range(rng.integers(1, 4)):
-        h0, w0 = rng.integers(0, size // 2, 2)
-        hh, ww = rng.integers(size // 8, size // 2, 2)
-        vy, vx = rng.integers(-2, 3, 2)
-        amp = rng.uniform(-0.3, 0.3, 3).astype(np.float32)
-        for t in range(length):
-            y0 = int(np.clip(h0 + vy * t, 0, size - 2))
-            x0 = int(np.clip(w0 + vx * t, 0, size - 2))
-            out[t, y0 : y0 + hh, x0 : x0 + ww] += amp
-    return out
 
 
 def load_array_dir(path: str) -> list[np.ndarray]:

@@ -130,6 +130,20 @@ def main(out_path: str = "RESULTS.md") -> None:
     rows.append(("4. online-adaptive FFDNet (flagship)", t,
                  float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
 
+    # 4b. flagship config on the HARD textured scene: drifting gratings +
+    # hard-edged rectangles land in a realistic dB regime (the smooth-blob
+    # default is an easy ~50 dB regime; real mid-scale scenes sit ~28-35 dB)
+    scene_hard = make_scene(b=b, h=h, w=w, seed=42, textured=True)
+    yh = jax.device_put(jnp.asarray(scene_hard.meas))
+    origh = jax.device_put(jnp.asarray(scene_hard.orig_bayer))
+    f4b = lambda: (reconstruct_single_dispatch(  # noqa: E731
+        yh, phi, wcfg, cfg4, prior, variables, orig=origh).x_bayer,)
+    t, _ = timed(f4b)
+    r = reconstruct_single_dispatch(yh, phi, wcfg, cfg4, prior, variables,
+                                    orig=origh)
+    rows.append(("4b. flagship on hard textured scene", t,
+                 float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
+
     # 5. DDnet joint demosaicking (regenerated weights if present) + batched
     dd_path = "weights/ddnet.npz"
     if os.path.exists(dd_path):
