@@ -194,6 +194,11 @@ class Trainer:
                 self.save()
             if self.step >= max_steps:
                 break
+        # ONE stacked device->host transfer: per-scalar float() pulls cost a
+        # full dispatch round-trip each (30-100 ms over a remote-attached
+        # TPU; 25k steps would drain for ~20 minutes after the loop)
+        if losses and hasattr(losses[0], "device"):
+            losses = np.asarray(jnp.stack(losses))
         return [float(x) for x in losses]
 
 
