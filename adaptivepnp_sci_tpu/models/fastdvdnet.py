@@ -177,6 +177,25 @@ class FastDVDnet(nn.Module):
         x20, x21, x22 = x2[:n], x2[n : 2 * n], x2[2 * n :]
         return self.temp2(x20, x21, x22, noise_map, False).astype(jnp.float32)
 
+    def _noise_map(self, like: Array, sigma: Array) -> Array:
+        b, h, w, _ = like.shape
+        return jnp.broadcast_to(
+            jnp.asarray(sigma, like.dtype).reshape(-1, 1, 1, 1), (b, h, w, 1)
+        )
+
+    def triplet_stage1(self, prev: Array, cur: Array, nxt: Array,
+                       sigma: Array) -> Array:
+        """temp1 on one triplet per sequence position (eval mode). Exposed
+        separately so frame-sharded callers can halo-exchange between the
+        two stages (``parallel/sharded.py``)."""
+        return self.temp1(prev, cur, nxt, self._noise_map(cur, sigma), False)
+
+    def triplet_stage2(self, prev: Array, cur: Array, nxt: Array,
+                       sigma: Array) -> Array:
+        """temp2 fusing three consecutive temp1 outputs (eval mode)."""
+        out = self.temp2(prev, cur, nxt, self._noise_map(cur, sigma), False)
+        return out.astype(jnp.float32)
+
     def seq_circular(self, frames: Array, sigma: Array) -> Array:
         """Denoise a circular B-frame sequence: ``(B, H, W, C) -> (B, H, W, C)``.
 
@@ -187,15 +206,9 @@ class FastDVDnet(nn.Module):
         windows only the B consecutive circular triplets occur. Eval-mode
         only (frozen BN — the solver/adaptation hot path).
         """
-        b, h, w, c = frames.shape
-        noise_map = jnp.broadcast_to(
-            jnp.asarray(sigma, frames.dtype).reshape(-1, 1, 1, 1), (b, h, w, 1)
-        )
         prev = jnp.roll(frames, 1, axis=0)    # frame c-1 at row c
         nxt = jnp.roll(frames, -1, axis=0)    # frame c+1 at row c
-        t1 = self.temp1(prev, frames, nxt, noise_map, False)
-        out = self.temp2(
-            jnp.roll(t1, 1, axis=0), t1, jnp.roll(t1, -1, axis=0),
-            noise_map, False,
+        t1 = self.triplet_stage1(prev, frames, nxt, sigma)
+        return self.triplet_stage2(
+            jnp.roll(t1, 1, axis=0), t1, jnp.roll(t1, -1, axis=0), sigma
         )
-        return out.astype(jnp.float32)

@@ -12,17 +12,35 @@ from adaptivepnp_sci_tpu.parallel.halo import halo_windows
 from adaptivepnp_sci_tpu.solvers.priors import Prior
 
 
-def fastdvd_prior_sharded(model, mesh: Mesh, window: int = 5) -> Prior:
+def fastdvd_prior_sharded(model, mesh: Mesh, window: int = 5,
+                          shared_triplet: bool = True) -> Prior:
     """FastDVDnet prior with the frame axis sharded over the mesh.
 
-    Windows are assembled with ring halo exchange (2 ``ppermute`` per call);
-    params replicate. Drop-in for :func:`priors.fastdvd_prior` in the solver.
+    Default (``shared_triplet``, 5-frame windows): the two DenBlock stages
+    run per DISTINCT circular triplet with a 1-frame ring halo exchange
+    between them — half the conv FLOPs of per-window evaluation and only
+    ``B_local >= 1`` required, so B=8 shards over up to 8 chips (the
+    per-window form needs ``B_local >= 2``). Identical math (frozen BN).
+
+    ``shared_triplet=False`` falls back to explicit window gathering with a
+    single 2-frame halo exchange (also used for ``window != 5``). Params
+    replicate in both forms. Drop-in for :func:`priors.fastdvd_prior`.
     """
 
     def apply(params, rgb: Array, sigma: Array) -> Array:
-        def shard_fn(params, rgb_local, sigma):
-            wins = halo_windows(rgb_local, "frame", window)
-            return model.apply(params, wins, sigma)
+        if shared_triplet and window == 5:
+            def shard_fn(params, rgb_local, sigma):
+                trip = halo_windows(rgb_local, "frame", 3)
+                t1 = model.apply(params, trip[:, 0], trip[:, 1], trip[:, 2],
+                                 sigma, method="triplet_stage1")
+                t1trip = halo_windows(t1, "frame", 3)
+                return model.apply(params, t1trip[:, 0], t1trip[:, 1],
+                                   t1trip[:, 2], sigma,
+                                   method="triplet_stage2")
+        else:
+            def shard_fn(params, rgb_local, sigma):
+                wins = halo_windows(rgb_local, "frame", window)
+                return model.apply(params, wins, sigma)
 
         return jax.shard_map(
             shard_fn,

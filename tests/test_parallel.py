@@ -46,9 +46,12 @@ def test_halo_windows_match_unsharded(fdvd):
 
 
 def test_halo_windows_too_many_shards_raises(fdvd):
+    """The per-window form needs B_local >= 2 for 5-frame windows (the
+    shared-triplet default only needs B_local >= 1 — see
+    test_sharded_shared_triplet_full_frame_sharding)."""
     model, variables = fdvd
     mesh = make_mesh(data=1, frame=8)
-    prior = fastdvd_prior_sharded(model, mesh)
+    prior = fastdvd_prior_sharded(model, mesh, shared_triplet=False)
     rgb = jnp.zeros((8, 16, 16, 3))  # B_local = 1 < halo 2
     with pytest.raises(ValueError, match="too many shards"):
         prior.apply(variables, rgb, jnp.float32(0.1))
@@ -165,4 +168,40 @@ def test_batched_solver_data_sharded():
     got = two_stage_admm_batched(y4s, scene.mask, cfg,
                                  prior=ffdnet_prior(model), variables=variables)
     np.testing.assert_allclose(np.asarray(got.x_bayer), np.asarray(want.x_bayer),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_shared_triplet_matches_seq_circular(fdvd):
+    """The two-stage halo-exchange form (temp1 per distinct triplet, 1-frame
+    halos between stages) must equal the unsharded shared-triplet sequence
+    AND the legacy per-window sharded form."""
+    model, variables = fdvd
+    mesh = make_mesh(data=1, frame=4)
+    rng = np.random.default_rng(3)
+    rgb = jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32))
+    sigma = jnp.float32(0.1)
+
+    want = model.apply(variables, rgb, sigma, method="seq_circular")
+    rgb_sharded = jax.device_put(rgb, NamedSharding(mesh, P("frame")))
+    got = fastdvd_prior_sharded(model, mesh).apply(variables, rgb_sharded, sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    legacy = fastdvd_prior_sharded(model, mesh, shared_triplet=False).apply(
+        variables, rgb_sharded, sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(legacy),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_shared_triplet_full_frame_sharding(fdvd):
+    """B_local = 1: the shared-triplet form supports one frame per shard
+    (8 frames over 8 devices), which the per-window form cannot."""
+    model, variables = fdvd
+    mesh = make_mesh(data=1, frame=8)
+    rng = np.random.default_rng(4)
+    rgb = jnp.asarray(rng.random((8, 16, 16, 3), dtype=np.float32))
+    sigma = jnp.float32(0.1)
+    want = model.apply(variables, rgb, sigma, method="seq_circular")
+    rgb_sharded = jax.device_put(rgb, NamedSharding(mesh, P("frame")))
+    got = fastdvd_prior_sharded(model, mesh).apply(variables, rgb_sharded, sigma)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
