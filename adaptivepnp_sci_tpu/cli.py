@@ -86,9 +86,10 @@ def _cmd_reconstruct(args) -> None:
             lambda: model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 5, 64, 64, 3)), jnp.float32(0.1)),
         )
-        prior = fastdvd_prior(model, window_chunk=4, adapt_window_chunk=2)
+        # shared-triplet sequence path (temp1 once per distinct triplet)
+        prior = fastdvd_prior(model)
 
-    demosaic_fn = None
+    demosaic_fn = dd = dd_vars = None
     if args.deep_demosaicking:
         from adaptivepnp_sci_tpu.models.convert import load_ddnet
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
@@ -99,7 +100,8 @@ def _cmd_reconstruct(args) -> None:
             args.ddnet_ckpt, load_ddnet,
             lambda: dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 64, 64, 3))),
         )
-        demosaic_fn = ddnet_demosaic(dd, dd_vars)
+        if not args.dm_update:
+            demosaic_fn = ddnet_demosaic(dd, dd_vars)
 
     warm = (
         load_warm_start(args.warm, scene.n_frames) if args.warm else None
@@ -112,6 +114,9 @@ def _cmd_reconstruct(args) -> None:
         reuse_model=not args.no_reuse_model,
         warm_start=warm,
         demosaic_fn=demosaic_fn,
+        dm_model=dd, dm_variables=dd_vars,
+        dm_update=args.dm_update, dm_lr=args.dm_lr,
+        dm_in_scan=args.dm_in_scan,
     )
     if args.out:
         save_results(
@@ -300,6 +305,13 @@ def main(argv=None) -> None:
     r.add_argument("--ckpt", default=None)
     r.add_argument("--ddnet-ckpt", default=None)
     r.add_argument("--deep-demosaicking", action="store_true")
+    r.add_argument("--dm-update", action="store_true",
+                   help="adapt the DDnet demosaicker online (self-consistency)")
+    r.add_argument("--dm-in-scan", action="store_true",
+                   help="interleave dm adaptation inside solver iterations "
+                        "(reference dm_update placement) instead of "
+                        "once per measurement")
+    r.add_argument("--dm-lr", type=float, default=1e-6)
     r.add_argument("--no-update", action="store_true")
     r.add_argument("--no-reuse-model", action="store_true")
     r.set_defaults(fn=_cmd_reconstruct)
