@@ -233,12 +233,27 @@ def load_variables_npz(path: str) -> dict:
 
 def load_checkpoint_variables(path: str):
     """Restore just the model variables from a Trainer checkpoint (orbax
-    directory or ``.npz``) for inference."""
+    directory or ``.npz``) for inference.
+
+    Orbax restores as host numpy arrays (``restore_type=np.ndarray``):
+    a checkpoint written from a TPU process bakes device shardings into its
+    metadata, and a default restore on a CPU-only process fails with
+    "Device TPU ... was not found". Numpy restore is topology-independent;
+    jit re-places the arrays on first use.
+    """
     if path.endswith(".npz"):
         return load_variables_npz(path)
     import orbax.checkpoint as ocp
 
-    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    ckpt = ocp.PyTreeCheckpointer()
+    meta = ckpt.metadata(os.path.abspath(path)).item_metadata
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), dict(meta)
+    )
+    raw = ckpt.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(restore_args=restore_args),
+    )
     return raw["variables"]
 
 

@@ -7,7 +7,7 @@ synthetic benchmark scenes — weights are distribution-matched to the
 benchmarks here and functional stand-ins elsewhere; the converters accept
 upstream checkpoints whenever real ones are available.
 
-Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir]
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters]
 Saves orbax checkpoints under weights/<name>/final.
 """
 
@@ -27,7 +27,8 @@ from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
 
 def main(network: str, steps: int, textured: bool = False,
          lipschitz: float = 0.0, spectral: float = 0.0,
-         out_dir: str | None = None) -> None:
+         out_dir: str | None = None, spectral_target: float = 1.0,
+         spectral_iters: int = 2) -> None:
     # Data stays device-resident: per-step batch gathers run on-chip instead
     # of re-uploading ~8MB over the (possibly remote) host link every step.
     # NOTE: defaults reproduce the shipped weights. Textured data / longer
@@ -45,7 +46,9 @@ def main(network: str, steps: int, textured: bool = False,
         variables = model.init(key, jnp.zeros((1, 5, 32, 32, 3)), jnp.float32(0.1))
         task = fastdvd_task(model, demosaic_aug=True,
                             lipschitz_penalty=lipschitz,
-                            spectral_penalty=spectral)
+                            spectral_penalty=spectral,
+                            spectral_target=spectral_target,
+                            spectral_iters=spectral_iters)
         lr = 1e-3
     elif network == "ddnet":
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
@@ -79,4 +82,6 @@ if __name__ == "__main__":
         lipschitz=float(sys.argv[4]) if len(sys.argv) > 4 else 0.0,
         spectral=float(sys.argv[5]) if len(sys.argv) > 5 else 0.0,
         out_dir=sys.argv[6] if len(sys.argv) > 6 else None,
+        spectral_target=float(sys.argv[7]) if len(sys.argv) > 7 else 1.0,
+        spectral_iters=int(sys.argv[8]) if len(sys.argv) > 8 else 2,
     )
