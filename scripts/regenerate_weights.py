@@ -7,7 +7,7 @@ synthetic benchmark scenes — weights are distribution-matched to the
 benchmarks here and functional stand-ins elsewhere; the converters accept
 upstream checkpoints whenever real ones are available.
 
-Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters]
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters] [n_clips]
 Saves orbax checkpoints under weights/<name>/final.
 """
 
@@ -28,15 +28,20 @@ from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
 def main(network: str, steps: int, textured: bool = False,
          lipschitz: float = 0.0, spectral: float = 0.0,
          out_dir: str | None = None, spectral_target: float = 1.0,
-         spectral_iters: int = 2) -> None:
+         spectral_iters: int = 2, n_clips: int = 0) -> None:
     # Data stays device-resident: per-step batch gathers run on-chip instead
     # of re-uploading ~8MB over the (possibly remote) host link every step.
     # NOTE: defaults reproduce the shipped weights. Textured data / longer
     # training improve standalone denoising but reduce PnP contractiveness
     # (see RESULTS.md); the lipschitz penalty is the experimental antidote.
+    # n_clips=0 keeps the historical defaults. The destabilization of
+    # longer training traces to OVERFITTING the small device-resident clip
+    # pool (sigma_max holds at train points but explodes on held-out data);
+    # the pool is procedural, so the principled fix is a bigger pool.
+    n = n_clips or (768 if textured else 512)
     clips = jax.device_put(jnp.asarray(
-        synthetic_video_dataset(768 if textured else 512, length=5,
-                                size=64, seed=123, textured=textured)
+        synthetic_video_dataset(n, length=5, size=64, seed=123,
+                                textured=textured)
     ))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
@@ -84,4 +89,5 @@ if __name__ == "__main__":
         out_dir=sys.argv[6] if len(sys.argv) > 6 else None,
         spectral_target=float(sys.argv[7]) if len(sys.argv) > 7 else 1.0,
         spectral_iters=int(sys.argv[8]) if len(sys.argv) > 8 else 2,
+        n_clips=int(sys.argv[9]) if len(sys.argv) > 9 else 0,
     )

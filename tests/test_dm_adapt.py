@@ -189,3 +189,37 @@ def test_pipeline_dm_update():
         dm_model=dm_model, dm_variables=dm_vars, dm_update=True, dm_lr=1e-4,
     )
     assert np.isfinite(out.x_bayer).all()
+
+
+def test_dm_spec_invalid_configs_raise():
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+        ADMMConfig,
+        make_dm_spec,
+        two_stage_admm,
+    )
+
+    s = make_scene(b=4, h=16, w=16, seed=27)
+    den = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    den_vars = den.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.float32(0.1))
+    dm_model, dm_vars = _tiny_ddnet()
+    spec = make_dm_spec(dm_model, lr=1e-3)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="closed_form"):
+        two_stage_admm(
+            s.meas, s.mask,
+            ADMMConfig(sigma=(0.1,), iters=(1,), denoiser="ffdnet",
+                       closed_form_demosaic=True),
+            prior=ffdnet_prior(den), variables=den_vars,
+            dm_spec=spec, dm_variables=dm_vars,
+        )
+    with pytest.raises(ValueError, match="TV solver"):
+        two_stage_admm(
+            s.meas, s.mask,
+            ADMMConfig(sigma=(0.1,), iters=(1,), denoiser="tv"),
+            dm_spec=spec, dm_variables=dm_vars,
+        )
