@@ -78,6 +78,13 @@ def fastdvd_task(
     * power iteration targets the top singular DIRECTION instead of a
       random perturbation, so the penalty bites exactly where the ADMM
       feedback loop can amplify.
+
+    Measured outcome (round 2): the penalty holds sigma_max at the target on
+    TRAINING inputs but not on held-out data — the instability of
+    longer-trained checkpoints was OVERFITTING of the small clip pool, and
+    enlarging the pool (regenerate_weights n_clips=4096) fixes stability
+    with no penalty at all (see ROADMAP.md). Kept for diagnostics and for
+    genuinely small-data regimes.
     """
 
     def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
