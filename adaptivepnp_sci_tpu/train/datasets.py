@@ -63,18 +63,41 @@ def temporal_chunks(video: np.ndarray, length: int = 5, stride: int = 3) -> np.n
 
 def synthetic_video_dataset(
     n_clips: int, length: int = 5, size: int = 96, seed: int = 0,
-    textured: bool = False,
+    textured: bool = False, source_sizes: tuple[int, ...] | None = None,
+    crops_per_video: int = 8,
 ) -> np.ndarray:
     """Procedural video clips ``(n, length, size, size, 3)`` in [0,1].
 
     ``textured=True`` mixes in structured content (oriented gratings, edges,
     rectangles) drifting over time — smooth blobs alone teach a denoiser
     nothing about preserving high-frequency detail.
+
+    ``source_sizes``: when given, each clip is a random ``size``-square crop
+    of a LARGER generated video whose side is drawn from this tuple (the
+    reference trains on crops of full-resolution DAVIS video the same way,
+    ``packages/DDnet/utils.py:22-46``). The generator scales feature sizes
+    with the frame side, so directly-generated 64-px clips carry 3-10 px
+    blobs while a 512-px benchmark scene carries 25-77 px blobs — a
+    denoiser fit only on small-scale statistics destabilizes the PnP loop
+    at full resolution. Crops inherit the large-scene pixel statistics.
+    ``crops_per_video`` crops share one generated source video (amortizes
+    the generation cost).
     """
     from adaptivepnp_sci_tpu.data.synthetic import _smooth_video, _texture_video
 
     rng = np.random.default_rng(seed)
     clips = []
+    if source_sizes:
+        while len(clips) < n_clips:
+            s = int(rng.choice(source_sizes))
+            video = _smooth_video(length, s, s, rng)
+            if textured and rng.random() < 0.5:
+                video = np.clip(video + _texture_video(length, s, rng), 0, 1)
+            for _ in range(min(crops_per_video, n_clips - len(clips))):
+                y0 = int(rng.integers(0, s - size + 1))
+                x0 = int(rng.integers(0, s - size + 1))
+                clips.append(video[:, y0 : y0 + size, x0 : x0 + size])
+        return np.stack(clips)
     for i in range(n_clips):
         clip = _smooth_video(length, size, size, rng)
         if textured and i % 2 == 0:

@@ -39,9 +39,15 @@ def main(network: str, steps: int, textured: bool = False,
     # pool (sigma_max holds at train points but explodes on held-out data);
     # the pool is procedural, so the principled fix is a bigger pool.
     n = n_clips or (768 if textured else 512)
+    # n_clips>0 also switches to scale-matched data: random 64px crops of
+    # 256/512px source videos, whose pixel statistics match the full-
+    # resolution benchmark scenes (directly-generated 64px clips carry
+    # 4x-8x smaller features — a scale mismatch that destabilizes the PnP
+    # loop at 512px; see synthetic_video_dataset docstring)
+    src = (256, 512) if n_clips else None
     clips = jax.device_put(jnp.asarray(
         synthetic_video_dataset(n, length=5, size=64, seed=123,
-                                textured=textured)
+                                textured=textured, source_sizes=src)
     ))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
