@@ -7,7 +7,7 @@ synthetic benchmark scenes — weights are distribution-matched to the
 benchmarks here and functional stand-ins elsewhere; the converters accept
 upstream checkpoints whenever real ones are available.
 
-Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters] [n_clips]
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters] [n_clips] [clip_size]
 Saves orbax checkpoints under weights/<name>/final.
 """
 
@@ -28,7 +28,8 @@ from adaptivepnp_sci_tpu.train.tasks import ddnet_task, fastdvd_task
 def main(network: str, steps: int, textured: bool = False,
          lipschitz: float = 0.0, spectral: float = 0.0,
          out_dir: str | None = None, spectral_target: float = 1.0,
-         spectral_iters: int = 2, n_clips: int = 0) -> None:
+         spectral_iters: int = 2, n_clips: int = 0,
+         clip_size: int = 64) -> None:
     # Data stays device-resident: per-step batch gathers run on-chip instead
     # of re-uploading ~8MB over the (possibly remote) host link every step.
     # NOTE: defaults reproduce the shipped weights. Textured data / longer
@@ -46,7 +47,7 @@ def main(network: str, steps: int, textured: bool = False,
     # loop at 512px; see synthetic_video_dataset docstring)
     src = (256, 512) if n_clips else None
     clips = jax.device_put(jnp.asarray(
-        synthetic_video_dataset(n, length=5, size=64, seed=123,
+        synthetic_video_dataset(n, length=5, size=clip_size, seed=123,
                                 textured=textured, source_sizes=src)
     ))
     key = jax.random.PRNGKey(0)
@@ -96,4 +97,5 @@ if __name__ == "__main__":
         spectral_target=float(sys.argv[7]) if len(sys.argv) > 7 else 1.0,
         spectral_iters=int(sys.argv[8]) if len(sys.argv) > 8 else 2,
         n_clips=int(sys.argv[9]) if len(sys.argv) > 9 else 0,
+        clip_size=int(sys.argv[10]) if len(sys.argv) > 10 else 64,
     )
