@@ -44,6 +44,41 @@ def augment_batch(key: Array, batch: Array) -> Array:
     return jax.vmap(apply_mode)(batch, modes)
 
 
+#: reference transform weights: [do_nothing, 7 dihedral modes, add_csnt]
+#: (~1/4 chance of identity; ``packages/DDnet/utils.py:73-75``)
+_REF_AUG_WEIGHTS = jnp.array([32, 12, 12, 12, 12, 12, 12, 12, 12],
+                             jnp.float32) / 148.0
+
+
+def normalize_augment(key: Array, batch: Array,
+                      ctrl_fr_idx: int | None = None) -> tuple[Array, Array]:
+    """Reference-faithful ``normalize_augment``
+    (``packages/DDnet/utils.py:47-94``): scales a ``(N, F, H, W, C)`` clip
+    batch from [0, 255] to [0, 1], applies ONE randomly chosen transform to
+    the whole batch — the 8 dihedral modes plus ``add_csnt`` (a per-sample
+    constant offset drawn N(0, (5/255)^2)) with the reference's weighted
+    choice — and returns ``(augmented, center-frame ground truth)``.
+
+    (:func:`augment_batch` is the per-sample uniform variant the trainers
+    use by default; this one replays the reference semantics exactly.)
+    """
+    img = batch / 255.0
+    k_mode, k_noise = jax.random.split(key)
+    mode = jax.random.choice(k_mode, 9, p=_REF_AUG_WEIGHTS)
+
+    def csnt(x):
+        offs = (5.0 / 255.0) * jax.random.normal(
+            k_noise, (x.shape[0],) + (1,) * (x.ndim - 1), x.dtype
+        )
+        return x + offs
+
+    branches = [lambda x, m=m: apply_mode(x, jnp.int32(m)) for m in range(8)]
+    branches.append(csnt)
+    out = jax.lax.switch(mode, branches, img)
+    c = ctrl_fr_idx if ctrl_fr_idx is not None else batch.shape[1] // 2
+    return out, out[:, c]
+
+
 def random_sigma(key: Array, n: int, lo: float, hi: float) -> Array:
     """Per-sample noise std, uniform in [lo, hi] (already /255-scaled)."""
     return jax.random.uniform(key, (n,), minval=lo, maxval=hi)

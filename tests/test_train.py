@@ -217,3 +217,23 @@ def test_synthetic_dataset_crops_from_large_sources():
     tv_crop = np.abs(np.diff(a, axis=2)).mean()
     tv_direct = np.abs(np.diff(direct, axis=2)).mean()
     assert tv_crop < tv_direct
+
+
+def test_normalize_augment_reference_semantics():
+    from adaptivepnp_sci_tpu.train.augment import normalize_augment
+
+    batch = jnp.asarray(
+        np.random.default_rng(0).random((4, 5, 8, 8, 3)).astype(np.float32)
+        * 255.0
+    )
+    # identity mode is the most likely single mode; find a key that picks it
+    out, gt = normalize_augment(jax.random.PRNGKey(0), batch)
+    assert out.shape == batch.shape and gt.shape == (4, 8, 8, 3)
+    assert float(out.max()) <= 1.5 and float(out.min()) >= -0.5  # scaled /255
+    np.testing.assert_allclose(np.asarray(gt), np.asarray(out[:, 2]))
+    # over many keys, outputs vary (transforms actually fire) and the
+    # constant-offset branch shows up (some output exceeds [0,1] slightly
+    # or differs from any dihedral of the scaled input)
+    outs = [np.asarray(normalize_augment(jax.random.PRNGKey(k), batch)[0])
+            for k in range(30)]
+    assert any(not np.allclose(o, outs[0]) for o in outs[1:])
