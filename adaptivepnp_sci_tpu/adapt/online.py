@@ -131,6 +131,24 @@ def make_adapt_fn(
             rgb_in = rgb_in + prior.adapt_noise_std * jax.random.normal(
                 sub, rgb_in.shape, rgb_in.dtype
             )
+        if getattr(prior, "adapt_mask", None):
+            # reference's optional masked-input ablation during adaptation
+            # (gen_masked_data, test_fastdvdnet.py:360-361); the frame cube
+            # plays the window axis role
+            from adaptivepnp_sci_tpu.ops import corruption
+
+            mode, ratio = prior.adapt_mask
+            key, sub = jax.random.split(key)
+            win = rgb_in[None]  # (1, B, H, W, 3)
+            if mode == "s":
+                win = corruption.mask_spatial(sub, win, ratio)
+            elif mode == "t":
+                win = corruption.mask_temporal(win)
+            elif mode == "b":
+                win = corruption.mask_block(sub, win, ratio)
+            else:
+                raise ValueError(f"unknown adapt_mask mode {mode!r}")
+            rgb_in = win[0]
         base_loss = measurement_loss_fn(prior, rgb_in, sigma, y_p, phi_p, y_f, phi_f)
         frozen = {k: v for k, v in variables.items() if k != "params"}
         trainable = variables["params"]

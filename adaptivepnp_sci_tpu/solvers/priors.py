@@ -38,6 +38,10 @@ class Prior(NamedTuple):
     #: optional memory-bounded variant used inside the adaptation gradient
     #: (None = same as ``apply``)
     apply_adapt: Callable[[Any, Array, Array], Array] | None = None
+    #: optional ('s'|'t'|'b', ratio) input corruption applied to the
+    #: adaptation input after the gaussian noise — the reference's
+    #: ``gen_masked_data`` hook (``test_fastdvdnet.py:339-340,360-361``)
+    adapt_mask: tuple[str, float] | None = None
 
 
 def ffdnet_prior(model) -> Prior:
@@ -113,7 +117,8 @@ def ddnet_demosaic(model, variables, window: int = 5):
 
 
 def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None,
-                  adapt_window_chunk: int | None = None) -> Prior:
+                  adapt_window_chunk: int | None = None,
+                  adapt_mask: tuple[str, float] | None = None) -> Prior:
     """FastDVDnet temporal prior over circular 5-frame windows.
 
     Default path (``window == 5``, no chunking): the model's
@@ -158,4 +163,5 @@ def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None,
         "fastdvd", chunked(window_chunk), loss_mode="bayer1",
         adapt_noise_std=5.0 / 255.0,
         apply_adapt=chunked(adapt_window_chunk or window_chunk),
+        adapt_mask=adapt_mask,
     )

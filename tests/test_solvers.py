@@ -342,3 +342,36 @@ def test_input_validation_errors(scene):
     with pytest.raises(ValueError, match="requires a prior"):
         two_stage_admm(scene.meas, scene.mask,
                        ADMMConfig(sigma=(0.1,), iters=(1,), denoiser="ffdnet"))
+
+
+def test_fastdvd_adapt_mask_changes_adaptation(scene):
+    """The reference's optional masked-input ablation (gen_masked_data 'b')
+    during FastDVDnet adaptation must alter the adapted weights, not crash."""
+    import optax
+
+    from adaptivepnp_sci_tpu.adapt.online import make_adapt_fn
+    from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+    from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+
+    model = FastDVDnet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)),
+                           jnp.float32(0.1))
+    y = jnp.asarray(scene.meas)
+    phi = jnp.asarray(scene.mask)
+    from adaptivepnp_sci_tpu.ops import bayer
+
+    y_p, phi_p = bayer.pack(y), bayer.pack(phi)
+    rgb = jnp.asarray(scene.orig_rgb)
+    opt = optax.adam(1e-3)
+
+    def run(prior):
+        fn = make_adapt_fn(prior, opt, update_per_iter=1)
+        v, _, _ = fn(variables, opt.init(variables["params"]),
+                     jax.random.PRNGKey(1), rgb, jnp.float32(0.1),
+                     y_p, phi_p, y, phi)
+        return jax.tree_util.tree_leaves(v["params"])[0]
+
+    plain = run(fastdvd_prior(model))
+    masked = run(fastdvd_prior(model, adapt_mask=("b", 0.1)))
+    assert np.isfinite(np.asarray(masked)).all()
+    assert not np.allclose(np.asarray(plain), np.asarray(masked))
