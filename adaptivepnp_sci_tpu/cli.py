@@ -245,7 +245,7 @@ def _cmd_synth(args) -> None:
     import scipy.io as sio
 
     s = make_scene(b=args.frames, h=args.size, w=args.size, seed=args.seed,
-                   n_meas=args.n_meas)
+                   n_meas=args.n_meas, textured=args.textured)
     meas = s.meas if s.meas.ndim == 3 else s.meas[..., None]
     orig = s.orig_bayer if s.orig_bayer.ndim == 4 else s.orig_bayer[None]
     t, b, h, w = orig.shape
@@ -342,6 +342,8 @@ def main(argv=None) -> None:
 
     s = sub.add_parser("synth", help="generate a synthetic CACTI scene")
     s.add_argument("--out", required=True)
+    s.add_argument("--textured", action="store_true",
+                   help="overlay drifting gratings/rectangles (harder scene)")
     s.add_argument("--size", type=int, default=512)
     s.add_argument("--frames", type=int, default=8)
     s.add_argument("--n-meas", type=int, default=1)
