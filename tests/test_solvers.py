@@ -375,3 +375,18 @@ def test_fastdvd_adapt_mask_changes_adaptation(scene):
     masked = run(fastdvd_prior(model, adapt_mask=("b", 0.1)))
     assert np.isfinite(np.asarray(masked)).all()
     assert not np.allclose(np.asarray(plain), np.asarray(masked))
+
+
+def test_solver_with_menon_demosaic(scene, tiny_ffdnet):
+    """demosaic_method='menon2007' path compiles and reconstructs."""
+    model, variables = tiny_ffdnet
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+    cfg = ADMMConfig(sigma=(25 / 255,), iters=(2,), denoiser="ffdnet",
+                     demosaic_method="menon2007")
+    res = two_stage_admm(scene.meas, scene.mask, cfg,
+                         prior=ffdnet_prior(model), variables=variables,
+                         x0_bayer=scene.orig_bayer,
+                         orig_bayer=scene.orig_bayer)
+    assert np.isfinite(np.asarray(res.x_bayer)).all()
+    assert res.x_rgb.shape == scene.orig_bayer.shape + (3,)
