@@ -54,6 +54,12 @@ class ADMMConfig:
     tv_iters: int = 5
     adapt: AdaptConfig | None = None
     use_pallas: bool | None = None  # None = auto (fused x-update on TPU)
+    #: relaxed (averaged) denoiser step: xhat = (1-r)*x + r*D(x). r=1.0 is
+    #: the reference's plain PnP step; r<1 damps the denoiser's feedback so
+    #: higher-fidelity (less contractive, sigma_max>1) denoisers stay stable
+    #: in-loop (averaged-operator PnP, cf. Ryu et al. 2019). Extension
+    #: beyond the reference.
+    denoiser_relax: float = 1.0
 
     @property
     def rho(self) -> float:
@@ -270,6 +276,8 @@ def _build_runner(
                 )
 
             xhat = prior.apply(variables, x_rgb_w, sigma)
+            if config.denoiser_relax != 1.0:
+                xhat = x_rgb_w + config.denoiser_relax * (xhat - x_rgb_w)
 
             theta = jnp.clip(bayer.rggb_subsample(xhat), 0.0, 1.0)
             b = b + (x - theta)

@@ -390,3 +390,24 @@ def test_solver_with_menon_demosaic(scene, tiny_ffdnet):
                          orig_bayer=scene.orig_bayer)
     assert np.isfinite(np.asarray(res.x_bayer)).all()
     assert res.x_rgb.shape == scene.orig_bayer.shape + (3,)
+
+
+def test_denoiser_relax(scene, tiny_ffdnet):
+    """relax=1 is the reference step; relax<1 averages toward the input
+    and changes the trajectory."""
+    model, variables = tiny_ffdnet
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+    base = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet")
+    same = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+                      denoiser_relax=1.0)
+    relaxed = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+                         denoiser_relax=0.5)
+    kw = dict(prior=ffdnet_prior(model), variables=variables,
+              x0_bayer=scene.orig_bayer)
+    a = two_stage_admm(scene.meas, scene.mask, base, **kw)
+    b = two_stage_admm(scene.meas, scene.mask, same, **kw)
+    c = two_stage_admm(scene.meas, scene.mask, relaxed, **kw)
+    np.testing.assert_array_equal(np.asarray(a.x_bayer), np.asarray(b.x_bayer))
+    assert not np.allclose(np.asarray(a.x_bayer), np.asarray(c.x_bayer))
+    assert np.isfinite(np.asarray(c.x_bayer)).all()
