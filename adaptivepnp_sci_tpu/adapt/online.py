@@ -34,13 +34,67 @@ if TYPE_CHECKING:  # avoid a circular import; Prior is duck-typed at runtime
 @dataclass(frozen=True)
 class AdaptConfig:
     """Online adaptation schedule (per-scene driver tables,
-    ``two_stage_ADMM_Online_FFD_Warm.py:62-151``)."""
+    ``two_stage_ADMM_Online_FFD_Warm.py:62-151``).
 
-    lr: float = 2e-6
-    update_per_iter: int = 2
+    ``lr``/``update_per_iter`` may be tuples: the reference's per-stage lists
+    (``packages/fastdvdnet/test_fastdvdnet.py:344-349,383-385``) — every
+    trigger iterates the stages in order, ``update_per_iter[i]`` Adam steps at
+    ``lr[i]``, with a FRESH optimizer per stage when
+    ``fresh_opt_per_trigger`` is set (the reference always constructs a new
+    ``torch.optim.Adam`` per stage/trigger). A scalar on either field
+    broadcasts against the other.
+
+    ``fresh_opt_per_trigger`` (default True): reference-faithful optimizer
+    semantics — zero Adam moments at every trigger (``packages/ffdnet/
+    test_ffdnet_ipol.py:250-251``). ``False`` carries one Adam state through
+    the whole solver scan (and across measurements) — this framework's
+    extension. Measured (AB_RESULTS.md): identical PSNR/SSIM/speed at the
+    production lr=2e-6..2e-7; at aggressive lr the carried trajectory
+    diverges as far from the reference as not adapting at all (RESULTS.md),
+    so faithful is the default.
+
+    ``trainable_filter``: optional tuple of substrings of parameter paths;
+    when set, only matching parameters receive updates — the reference's
+    dormant ``fix`` mode that fine-tunes ``temp2`` only
+    (``test_fastdvdnet.py:365-373``).
+    """
+
+    lr: float | tuple[float, ...] = 2e-6
+    update_per_iter: int | tuple[int, ...] = 2
     initial_iter: int = 1
     interval_iter: int = 5
     update_times: int = -1  # -1 = unlimited
+    fresh_opt_per_trigger: bool = True
+    trainable_filter: tuple[str, ...] | None = None
+
+
+def resolve_stages(adapt: AdaptConfig) -> tuple[tuple[float, int], ...]:
+    """Normalize ``(lr, update_per_iter)`` into per-stage ``((lr_i, n_i), ...)``
+    pairs, broadcasting scalars (reference list handling,
+    ``test_fastdvdnet.py:344-349``)."""
+    lrs = adapt.lr if isinstance(adapt.lr, tuple) else (float(adapt.lr),)
+    ns = (
+        adapt.update_per_iter
+        if isinstance(adapt.update_per_iter, tuple)
+        else (int(adapt.update_per_iter),)
+    )
+    if len(lrs) == 1 and len(ns) > 1:
+        lrs = lrs * len(ns)
+    if len(ns) == 1 and len(lrs) > 1:
+        ns = ns * len(lrs)
+    if len(lrs) != len(ns):
+        raise ValueError(
+            f"lr stages ({len(lrs)}) and update_per_iter stages ({len(ns)}) "
+            "must match or broadcast"
+        )
+    return tuple(zip((float(l) for l in lrs), (int(n) for n in ns)))
+
+
+def first_lr(adapt: AdaptConfig) -> float:
+    """The stage-0 learning rate — what the default optimizer is built with;
+    later stages rescale its updates by ``lr_i / lr_0`` (exact for Adam,
+    whose step is linear in lr)."""
+    return resolve_stages(adapt)[0][0]
 
 
 def make_schedule(
@@ -106,24 +160,51 @@ def measurement_loss_fn(
     return loss
 
 
+def _trainable_mask(params, filters: tuple[str, ...]):
+    """Static per-leaf bool pytree: does the parameter's path contain any of
+    the filter substrings? (Reference ``fix`` mode scopes fine-tuning to
+    ``model.module.temp2``, ``test_fastdvdnet.py:365-373``.)"""
+    import jax.tree_util as jtu
+
+    def leaf_on(path, _v):
+        s = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        return any(f in s for f in filters)
+
+    return jtu.tree_map_with_path(leaf_on, params)
+
+
 def make_adapt_fn(
     prior: "Prior",
     optimizer: optax.GradientTransformation,
-    update_per_iter: int,
+    adapt_cfg: AdaptConfig,
     grad_axis: str | None = None,
 ):
     """Returns ``adapt(variables, opt_state, key, rgb_in, sigma, y_p, phi_p,
-    y_f, phi_f) -> (variables, opt_state, key)`` performing ``update_per_iter``
-    Adam steps (statically unrolled — it is 1-2 in every reference config).
+    y_f, phi_f) -> (variables, opt_state, key)`` performing the trigger's
+    Adam steps (statically unrolled — 1-2 per stage in every reference
+    config; per-stage ``(lr, n)`` lists per :func:`resolve_stages`).
 
     Only the ``'params'`` collection receives gradients; ``batch_stats``
     (BatchNorm running statistics) stay frozen — the reference's BN-freeze
-    during FastDVDnet adaptation (``test_fastdvdnet.py:374-379``).
+    during FastDVDnet adaptation (``test_fastdvdnet.py:374-379``). With
+    ``adapt_cfg.trainable_filter``, gradients outside the matched parameter
+    paths are zeroed — with zero gradient, Adam's moments stay exactly zero
+    and the update is exactly zero, so out-of-scope parameters are bitwise
+    frozen without changing the optimizer-state structure.
+
+    ``adapt_cfg.fresh_opt_per_trigger`` re-initializes the optimizer state at
+    the start of every stage of every trigger (the reference constructs a new
+    ``torch.optim.Adam`` there); stages beyond the first rescale the
+    optimizer's updates by ``lr_i / lr_0``, which is exact for Adam.
 
     ``grad_axis`` names a mapped axis (vmap/shard_map) to ``pmean`` gradients
     over — used by the tiled solver so all tiles share ONE adapted weight
     copy (DP-style grad sync) instead of drifting apart per tile.
     """
+    stages = resolve_stages(adapt_cfg)
+    lr0 = stages[0][0]
 
     def adapt(variables, opt_state, key, rgb_in, sigma, y_p, phi_p, y_f, phi_f):
         if prior.adapt_noise_std > 0:
@@ -152,13 +233,29 @@ def make_adapt_fn(
         base_loss = measurement_loss_fn(prior, rgb_in, sigma, y_p, phi_p, y_f, phi_f)
         frozen = {k: v for k, v in variables.items() if k != "params"}
         trainable = variables["params"]
+        mask = (
+            _trainable_mask(trainable, adapt_cfg.trainable_filter)
+            if adapt_cfg.trainable_filter is not None
+            else None
+        )
         loss = lambda p: base_loss({"params": p, **frozen})  # noqa: E731
-        for _ in range(update_per_iter):
-            grads = jax.grad(loss)(trainable)
-            if grad_axis is not None:
-                grads = jax.lax.pmean(grads, grad_axis)
-            updates, opt_state = optimizer.update(grads, opt_state, trainable)
-            trainable = optax.apply_updates(trainable, updates)
+        for lr_i, n_i in stages:
+            if adapt_cfg.fresh_opt_per_trigger:
+                opt_state = optimizer.init(trainable)
+            for _ in range(n_i):
+                grads = jax.grad(loss)(trainable)
+                if mask is not None:
+                    grads = jax.tree_util.tree_map(
+                        lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+                    )
+                if grad_axis is not None:
+                    grads = jax.lax.pmean(grads, grad_axis)
+                updates, opt_state = optimizer.update(grads, opt_state, trainable)
+                if lr_i != lr0:
+                    updates = jax.tree_util.tree_map(
+                        lambda u: u * (lr_i / lr0), updates
+                    )
+                trainable = optax.apply_updates(trainable, updates)
         return {"params": trainable, **frozen}, opt_state, key
 
     return adapt

@@ -89,6 +89,13 @@ def _cmd_reconstruct(args) -> None:
         # shared-triplet sequence path (temp1 once per distinct triplet)
         prior = fastdvd_prior(model)
 
+    if (args.dm_update or args.dm_in_scan) and not args.deep_demosaicking:
+        raise SystemExit(
+            "error: --dm-update/--dm-in-scan adapt the DDnet demosaicker and "
+            "require --deep-demosaicking (the reference's dm_update is only "
+            "reachable with model_demosaic set, dvp…online.py:192-194)"
+        )
+
     demosaic_fn = dd = dd_vars = None
     if args.deep_demosaicking:
         from adaptivepnp_sci_tpu.models.convert import load_ddnet
@@ -106,6 +113,39 @@ def _cmd_reconstruct(args) -> None:
     warm = (
         load_warm_start(args.warm, scene.n_frames) if args.warm else None
     )
+
+    config = None
+    if args.adapt_fresh_opt or args.adapt_lr or args.adapt_update_per_iter \
+            or args.trainable_filter:
+        # override the per-scene table's adaptation fields
+        import dataclasses
+
+        from adaptivepnp_sci_tpu.configs.scenes import admm_config_for
+
+        config = admm_config_for(
+            scene.name, args.denoiser, args.deep_demosaicking,
+            not args.no_update,
+        )
+        if config.adapt is None:
+            raise SystemExit(
+                "error: adaptation overrides given but the selected config "
+                "has no adaptation (did you pass --no-update?)"
+            )
+        over = {}
+        if args.adapt_fresh_opt:
+            over["fresh_opt_per_trigger"] = True
+        if args.adapt_lr:
+            lrs = tuple(float(v) for v in args.adapt_lr.split(","))
+            over["lr"] = lrs[0] if len(lrs) == 1 else lrs
+        if args.adapt_update_per_iter:
+            ns = tuple(int(v) for v in args.adapt_update_per_iter.split(","))
+            over["update_per_iter"] = ns[0] if len(ns) == 1 else ns
+        if args.trainable_filter:
+            over["trainable_filter"] = tuple(args.trainable_filter.split(","))
+        config = dataclasses.replace(
+            config, adapt=dataclasses.replace(config.adapt, **over)
+        )
+
     out = run_reconstruction(
         scene, prior, variables,
         denoiser=args.denoiser,
@@ -114,9 +154,12 @@ def _cmd_reconstruct(args) -> None:
         reuse_model=not args.no_reuse_model,
         warm_start=warm,
         demosaic_fn=demosaic_fn,
+        config=config,
         dm_model=dd, dm_variables=dd_vars,
         dm_update=args.dm_update, dm_lr=args.dm_lr,
+        dm_update_per_iter=args.dm_update_per_iter,
         dm_in_scan=args.dm_in_scan,
+        dm_fresh_opt=args.dm_fresh_opt,
     )
     if args.out:
         save_results(
@@ -312,6 +355,25 @@ def main(argv=None) -> None:
                         "(reference dm_update placement) instead of "
                         "once per measurement")
     r.add_argument("--dm-lr", type=float, default=1e-6)
+    r.add_argument("--dm-update-per-iter", type=int, default=1)
+    r.add_argument("--dm-fresh-opt", action="store_true",
+                   help="fresh Adam per dm update step (the reference's "
+                        "DDnet_test.py:278-281 optimizer semantics)")
+    r.add_argument("--adapt-fresh-opt", action="store_true",
+                   help="fresh Adam per adaptation trigger/stage (the "
+                        "reference's test_ffdnet_ipol.py:250-251 semantics) "
+                        "instead of carrying Adam state through the scan")
+    r.add_argument("--adapt-lr", default=None,
+                   help="override adaptation lr; comma-separated for the "
+                        "reference's per-stage lr lists "
+                        "(test_fastdvdnet.py:344-349)")
+    r.add_argument("--adapt-update-per-iter", default=None,
+                   help="override adaptation steps per trigger; "
+                        "comma-separated per-stage list")
+    r.add_argument("--trainable-filter", default=None,
+                   help="comma-separated parameter-path substrings to "
+                        "fine-tune (e.g. 'temp2' for the reference's fix "
+                        "mode, test_fastdvdnet.py:365-373); others frozen")
     r.add_argument("--no-update", action="store_true")
     r.add_argument("--no-reuse-model", action="store_true")
     r.set_defaults(fn=_cmd_reconstruct)

@@ -129,9 +129,16 @@ class ConditionalBatchNorm2d(nn.Module):
     def __call__(self, x: Array, y: Array, train: bool = False) -> Array:
         x = nn.BatchNorm(use_running_average=not train, use_bias=False,
                          use_scale=False, name="bn")(x)
+        # reference init (basicblock.py:161-163): gamma half ~ N(1, 0.02),
+        # beta half zero — from-scratch training starts near identity
+        def embed_init(key, shape, dtype=jnp.float32):
+            n, two_f = shape
+            f = two_f // 2
+            gamma = 1.0 + 0.02 * jax.random.normal(key, (n, f), dtype)
+            return jnp.concatenate([gamma, jnp.zeros((n, f), dtype)], -1)
+
         embed = nn.Embed(self.num_classes, self.num_features * 2,
-                         embedding_init=nn.initializers.normal(1.0),
-                         name="embed")(y)
+                         embedding_init=embed_init, name="embed")(y)
         gamma, beta = jnp.split(embed, 2, axis=-1)
         shape = (-1, 1, 1, self.num_features)
         return gamma.reshape(shape) * x + beta.reshape(shape)
@@ -457,18 +464,22 @@ def downsample_strideconv(out_ch: int = 64, bias: bool = True,
 
 def downsample_maxpool(out_ch: int = 64, kernel_size: int = 3,
                        bias: bool = True, mode: str = "2R",
-                       negative_slope: float = 0.2):
+                       negative_slope: float = 0.2, padding: int = 0):
+    # KAIR's factory fixes the tail-conv padding at 0 regardless of kernel
+    # size (basicblock.py:507); expose it as a parameter like KAIR does
     r = _scale_of(mode, "23")
     return _PoolThenConv(out_ch, kernel_size, r, "max", bias, mode[1:],
-                         negative_slope)
+                         negative_slope, padding)
 
 
 def downsample_avgpool(out_ch: int = 64, kernel_size: int = 3,
                        bias: bool = True, mode: str = "2R",
-                       negative_slope: float = 0.2):
+                       negative_slope: float = 0.2, padding: int = 1):
+    # KAIR's avgpool tail-conv padding defaults to 1 regardless of kernel
+    # size (basicblock.py:520)
     r = _scale_of(mode, "23")
     return _PoolThenConv(out_ch, kernel_size, r, "avg", bias, mode[1:],
-                         negative_slope)
+                         negative_slope, padding)
 
 
 class _PoolThenConv(nn.Module):
@@ -483,11 +494,11 @@ class _PoolThenConv(nn.Module):
     bias: bool
     tail_mode: str
     negative_slope: float
+    padding: int = 0
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = _pool(x, self.r, self.r, self.pool)
-        pad = 0 if self.pool == "max" else self.kernel_size // 2
-        return ConvBlock(self.out_ch, self.kernel_size, 1, pad, self.bias,
-                         "C" + self.tail_mode, self.negative_slope,
-                         name="tail")(x, train)
+        return ConvBlock(self.out_ch, self.kernel_size, 1, self.padding,
+                         self.bias, "C" + self.tail_mode,
+                         self.negative_slope, name="tail")(x, train)

@@ -12,6 +12,12 @@ NHWC; the window axis is a batch axis (the reference loops frames in Python,
 mode used while *adapting* the convs online (BN-freeze,
 ``test_fastdvdnet.py:374-379``).
 
+``dtype=jnp.bfloat16`` runs the conv/BN chains in bf16 with fp32 residuals:
+parameters stay fp32, each DenBlock's U-Net computes in bf16 (half the HBM
+traffic on the memory-bound 512^2 path), and the ``in1 - x`` residual plus
+the block outputs are accumulated in fp32 so solver-state precision is
+unaffected. Default None = full fp32.
+
 TPU hot path: :meth:`FastDVDnet.seq_circular` denoises a whole circular
 B-frame sequence (``fastdvdnet.py:82-146`` semantics) with temp1 evaluated
 ONCE per distinct triplet. The per-window form evaluates temp1 on 3 triplets
@@ -22,6 +28,8 @@ distinct, so the sequence needs B temp1 + B temp2 evaluations instead of
 """
 
 from __future__ import annotations
+
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,20 +46,24 @@ def _conv(x: Array, features: int, name: str, groups: int = 1,
     )(x)
 
 
+def _bn(x: Array, train: bool, name: str, dtype=None) -> Array:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name, dtype=dtype)(x)
+
+
 class CvBlock(nn.Module):
     """(Conv => BN => ReLU) x 2."""
 
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = _conv(x, self.out_ch, "conv0")
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn0")(x)
+        x = _conv(x, self.out_ch, "conv0", dtype=self.dtype)
+        x = _bn(x, train, "bn0", self.dtype)
         x = nn.relu(x)
-        x = _conv(x, self.out_ch, "conv1")
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+        x = _conv(x, self.out_ch, "conv1", dtype=self.dtype)
+        x = _bn(x, train, "bn1", self.dtype)
         return nn.relu(x)
 
 
@@ -61,56 +73,56 @@ class InputCvBlock(nn.Module):
     num_in_frames: int
     out_ch: int
     interm_ch: int = 30
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = _conv(x, self.num_in_frames * self.interm_ch, "conv0",
-                  groups=self.num_in_frames)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn0")(x)
+                  groups=self.num_in_frames, dtype=self.dtype)
+        x = _bn(x, train, "bn0", self.dtype)
         x = nn.relu(x)
-        x = _conv(x, self.out_ch, "conv1")
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(x)
+        x = _conv(x, self.out_ch, "conv1", dtype=self.dtype)
+        x = _bn(x, train, "bn1", self.dtype)
         return nn.relu(x)
 
 
 class DownBlock(nn.Module):
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         # torch pads (1,1) symmetrically for the strided conv; XLA "SAME"
         # would pad (0,1) and sample different positions.
         x = nn.Conv(self.out_ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                    use_bias=False, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn0")(x)
+                    use_bias=False, name="conv0", dtype=self.dtype)(x)
+        x = _bn(x, train, "bn0", self.dtype)
         x = nn.relu(x)
-        return CvBlock(self.out_ch, name="cvblock")(x, train)
+        return CvBlock(self.out_ch, dtype=self.dtype, name="cvblock")(x, train)
 
 
 class UpBlock(nn.Module):
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
-        x = CvBlock(x.shape[-1], name="cvblock")(x, train)
-        x = _conv(x, self.out_ch * 4, "conv0")
+        x = CvBlock(x.shape[-1], dtype=self.dtype, name="cvblock")(x, train)
+        x = _conv(x, self.out_ch * 4, "conv0", dtype=self.dtype)
         return depth_to_space(x, 2)
 
 
 class OutputCvBlock(nn.Module):
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         in_ch = x.shape[-1]
-        x = _conv(x, in_ch, "conv0")
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn0")(x)
+        x = _conv(x, in_ch, "conv0", dtype=self.dtype)
+        x = _bn(x, train, "bn0", self.dtype)
         x = nn.relu(x)
-        return _conv(x, self.out_ch, "conv1")
+        return _conv(x, self.out_ch, "conv1", dtype=self.dtype)
 
 
 class DenBlock(nn.Module):
@@ -118,6 +130,7 @@ class DenBlock(nn.Module):
 
     num_color_channels: int = 3
     chs: tuple[int, int, int] = (32, 64, 128)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, in0: Array, in1: Array, in2: Array, noise_map: Array,
@@ -125,13 +138,19 @@ class DenBlock(nn.Module):
         x = jnp.concatenate(
             [in0, noise_map, in1, noise_map, in2, noise_map], axis=-1
         )
-        x0 = InputCvBlock(3, self.chs[0], name="inc")(x, train)
-        x1 = DownBlock(self.chs[1], name="downc0")(x0, train)
-        x2 = DownBlock(self.chs[2], name="downc1")(x1, train)
-        x2 = UpBlock(self.chs[1], name="upc2")(x2, train)
-        x1 = UpBlock(self.chs[0], name="upc1")(x1 + x2, train)
-        x = OutputCvBlock(self.num_color_channels, name="outc")(x0 + x1, train)
-        return in1 - x
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        dt = self.dtype
+        x0 = InputCvBlock(3, self.chs[0], dtype=dt, name="inc")(x, train)
+        x1 = DownBlock(self.chs[1], dtype=dt, name="downc0")(x0, train)
+        x2 = DownBlock(self.chs[2], dtype=dt, name="downc1")(x1, train)
+        x2 = UpBlock(self.chs[1], dtype=dt, name="upc2")(x2, train)
+        x1 = UpBlock(self.chs[0], dtype=dt, name="upc1")(x1 + x2, train)
+        x = OutputCvBlock(self.num_color_channels, dtype=dt,
+                          name="outc")(x0 + x1, train)
+        # fp32 residual: the skip from the center frame and the final
+        # accumulate stay full precision regardless of the compute dtype
+        return in1.astype(jnp.float32) - x.astype(jnp.float32)
 
 
 # per-block remat: bounds backward-pass activation memory to one DenBlock
@@ -146,10 +165,13 @@ class FastDVDnet(nn.Module):
 
     num_input_frames: int = 5
     num_color_channels: int = 3
+    #: compute dtype for the DenBlock conv/BN chains (None = fp32;
+    #: jnp.bfloat16 = bf16 compute with fp32 params + residuals)
+    dtype: Any = None
 
     def setup(self):
-        self.temp1 = _RematDenBlock(self.num_color_channels)
-        self.temp2 = _RematDenBlock(self.num_color_channels)
+        self.temp1 = _RematDenBlock(self.num_color_channels, dtype=self.dtype)
+        self.temp2 = _RematDenBlock(self.num_color_channels, dtype=self.dtype)
 
     def __call__(self, windows: Array, sigma: Array, train: bool = False) -> Array:
         n, nf, h, w, c = windows.shape

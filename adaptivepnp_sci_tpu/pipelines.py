@@ -140,6 +140,7 @@ def run_reconstruction(
     dm_lr: float = 1e-6,
     dm_update_per_iter: int = 1,
     dm_in_scan: bool = False,
+    dm_fresh_opt: bool = False,
 ) -> ReconstructionOutput:
     """Two-stage online-adaptive reconstruction over all measurements.
 
@@ -148,10 +149,15 @@ def run_reconstruction(
     Bayer estimate and the refined weights carry forward across measurements.
     Two adaptation placements:
 
-    * ``dm_in_scan=True`` — the reference's exact interleaving
+    * ``dm_in_scan=True`` — the reference's interleaving
       (``DDnet_test.py:239-293``): Adam steps fire inside EVERY solver
-      iteration, threaded through the scan carry (one jitted program,
-      no per-measurement retrace).
+      iteration, threaded through the scan carry (one jitted program, no
+      per-measurement retrace). Optimizer semantics: the reference
+      constructs a FRESH Adam inside every update step
+      (``DDnet_test.py:278-281``) — set ``dm_fresh_opt=True`` for that
+      exact behavior; the default carries one Adam state through the scan
+      and across measurements (this framework's extension, a different
+      adaptation trajectory).
     * ``dm_in_scan=False`` — once per measurement before the solve (cheaper;
       each adapted demosaicker is a fresh closure, so the solver re-traces
       per measurement).
@@ -165,7 +171,8 @@ def run_reconstruction(
     if dm_update and dm_model is not None and dm_in_scan:
         from adaptivepnp_sci_tpu.solvers.two_stage_admm import make_dm_spec
 
-        dm_spec = make_dm_spec(dm_model, dm_lr, dm_update_per_iter)
+        dm_spec = make_dm_spec(dm_model, dm_lr, dm_update_per_iter,
+                               fresh_opt=dm_fresh_opt)
         dm_opt_state = dm_spec.optimizer.init(dm_variables)
     elif dm_update and dm_model is not None:
         from adaptivepnp_sci_tpu.adapt.ddnet_online import make_dm_adapt_fn

@@ -19,6 +19,7 @@ from jax import Array
 from adaptivepnp_sci_tpu.ops import bayer, metrics, physics
 from adaptivepnp_sci_tpu.solvers.gap_tv import GapTVConfig, _gap_tv_packed
 from adaptivepnp_sci_tpu.solvers.priors import Prior
+from adaptivepnp_sci_tpu.adapt.online import first_lr
 from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
     ADMMConfig,
     _build_runner,
@@ -48,7 +49,7 @@ def build_reconstruct(
     """Returns jitted ``fn(y, phi, orig, variables, opt_state, key) ->
     EndToEndResult`` (pass ``orig=None``-shaped zeros when metrics off)."""
     if admm_cfg.adapt is not None and optimizer is None:
-        optimizer = _default_adam(admm_cfg.adapt.lr)
+        optimizer = _default_adam(first_lr(admm_cfg.adapt))
     runner = _build_runner(admm_cfg, prior, demosaic_fn, optimizer, compute_metrics)
 
     @jax.jit
@@ -87,7 +88,7 @@ def reconstruct_single_dispatch(
     """Convenience wrapper around :func:`build_reconstruct`."""
     optimizer = None
     if admm_cfg.adapt is not None and prior is not None:
-        optimizer = _default_adam(admm_cfg.adapt.lr)
+        optimizer = _default_adam(first_lr(admm_cfg.adapt))
         if opt_state is None:
             opt_state = optimizer.init(variables["params"])
     fn = build_reconstruct(

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import optax
 from jax import Array
 
-from adaptivepnp_sci_tpu.adapt.online import AdaptConfig, make_adapt_fn, make_schedule
+from adaptivepnp_sci_tpu.adapt.online import (
+    AdaptConfig,
+    first_lr,
+    make_adapt_fn,
+    make_schedule,
+)
 from adaptivepnp_sci_tpu.ops import bayer, demosaic, metrics, physics
 from adaptivepnp_sci_tpu.solvers.priors import Prior
 from adaptivepnp_sci_tpu.solvers.two_stage_admm import _default_adam
@@ -71,7 +76,7 @@ def _build_runner(
     total_iters = int(sigmas_np.shape[0])
     do_adapt = config.adapt is not None
     adapt_step = (
-        make_adapt_fn(prior, optimizer, config.adapt.update_per_iter)
+        make_adapt_fn(prior, optimizer, config.adapt)
         if do_adapt
         else None
     )
@@ -160,7 +165,7 @@ def gap_deep(
 
     if config.adapt is not None:
         if optimizer is None:
-            optimizer = _default_adam(config.adapt.lr)
+            optimizer = _default_adam(first_lr(config.adapt))
         if opt_state is None:
             opt_state = optimizer.init(variables["params"])
     if key is None:

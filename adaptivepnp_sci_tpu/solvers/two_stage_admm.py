@@ -34,7 +34,12 @@ import numpy as np
 import optax
 from jax import Array
 
-from adaptivepnp_sci_tpu.adapt.online import AdaptConfig, make_adapt_fn, make_schedule
+from adaptivepnp_sci_tpu.adapt.online import (
+    AdaptConfig,
+    first_lr,
+    make_adapt_fn,
+    make_schedule,
+)
 from adaptivepnp_sci_tpu.ops import bayer, demosaic, metrics, pallas_kernels, physics, tv
 from adaptivepnp_sci_tpu.solvers.priors import Prior
 
@@ -57,9 +62,22 @@ class ADMMConfig:
     #: relaxed (averaged) denoiser step: xhat = (1-r)*x + r*D(x). r=1.0 is
     #: the reference's plain PnP step; r<1 damps the denoiser's feedback so
     #: higher-fidelity (less contractive, sigma_max>1) denoisers stay stable
-    #: in-loop (averaged-operator PnP, cf. Ryu et al. 2019). Extension
-    #: beyond the reference.
-    denoiser_relax: float = 1.0
+    #: in-loop (averaged-operator PnP, cf. Ryu et al. 2019). A tuple gives a
+    #: PER-SIGMA-STAGE schedule (same length as ``sigma``) — e.g. damp only
+    #: the large-sigma stages where the denoiser moves the iterate furthest,
+    #: full steps at small sigma where fidelity matters. Extension beyond
+    #: the reference.
+    denoiser_relax: float | tuple[float, ...] = 1.0
+    #: replay the reference's ITERATION-1 dual-aliasing artifact exactly:
+    #: the reference binds x/theta/x0 to one tensor (``dvp…online.py:87-89``)
+    #: and its theta-update writes through that alias before the clip
+    #: rebinds it (:206-209,265), so in the first iteration only the dual
+    #: update ``b += x - theta`` (:267) sees x already overwritten with the
+    #: PRE-CLIP theta. Default False = clean ADMM duals (the two differ by
+    #: <=0.05 dB fixed-weight, ~0.14 dB through adaptation at toy scale —
+    #: see tests/test_reference_parity.py). True = bitwise-faithful mode
+    #: for parity pinning.
+    faithful_aliasing: bool = False
 
     @property
     def rho(self) -> float:
@@ -99,17 +117,23 @@ class DmSpec(NamedTuple):
     apply: Callable[[Any, Array], Array]  # (dm_variables, (B,H,W)) -> (B,H,W,3)
     optimizer: optax.GradientTransformation
     update_per_iter: int = 1
+    #: reference-faithful optimizer semantics: the reference constructs a
+    #: FRESH torch Adam inside every dm update step
+    #: (``DDnet_test.py:278-281``), so each step is a bias-corrected first
+    #: Adam step (~ sign-gradient * lr). False carries one Adam state through
+    #: the scan (this framework's extension).
+    fresh_opt: bool = False
 
 
 @functools.lru_cache(maxsize=16)
 def make_dm_spec(model, lr: float = 1e-6, update_per_iter: int = 1,
-                 window: int = 5) -> DmSpec:
+                 window: int = 5, fresh_opt: bool = False) -> DmSpec:
     """Cached DmSpec for a DDnet-style Flax module (stable identity keys the
     runner's jit cache across measurements)."""
     from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic_param
 
     return DmSpec(ddnet_demosaic_param(model, window), optax.adam(lr),
-                  update_per_iter)
+                  update_per_iter, fresh_opt)
 
 
 @functools.lru_cache(maxsize=16)
@@ -154,9 +178,24 @@ def _build_runner(
     total_iters = int(sigmas_np.shape[0])
     rho, alpha, tau = config.rho, config.alpha, config.tau
 
+    relax = config.denoiser_relax
+    if isinstance(relax, tuple):
+        if len(relax) != len(config.sigma):
+            raise ValueError(
+                f"denoiser_relax stages ({len(relax)}) must match sigma "
+                f"stages ({len(config.sigma)})"
+            )
+        relax_np = np.concatenate(
+            [np.full(n, r, np.float32) for r, n in zip(relax, config.iters)]
+        )
+        use_relax = any(r != 1.0 for r in relax)
+    else:
+        relax_np = np.full(total_iters, float(relax), np.float32)
+        use_relax = relax != 1.0
+
     do_adapt = config.adapt is not None and prior is not None
     adapt_step = (
-        make_adapt_fn(prior, optimizer, config.adapt.update_per_iter, grad_axis)
+        make_adapt_fn(prior, optimizer, config.adapt, grad_axis)
         if do_adapt
         else None
     )
@@ -223,7 +262,7 @@ def _build_runner(
         def step(carry, inp):
             (x, theta, b, w_dual, xhat, variables, opt_state, key,
              dm_vars, dm_opt) = carry
-            sigma, adapt_flag, k = inp
+            sigma, adapt_flag, k, relax_k = inp
 
             x = x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
             xb_full = bayer.unpack(x + b / rho)  # (B, H, W)
@@ -237,6 +276,8 @@ def _build_runner(
                     return jnp.mean((bayer.mosaic(out) - xb_full) ** 2) / 3.0
 
                 for _ in range(dm_spec.update_per_iter):
+                    if dm_spec.fresh_opt:
+                        dm_opt = dm_spec.optimizer.init(dm_vars)
                     grads = jax.grad(dm_loss)(dm_vars)
                     if grad_axis is not None:
                         grads = jax.lax.pmean(grads, grad_axis)
@@ -276,11 +317,17 @@ def _build_runner(
                 )
 
             xhat = prior.apply(variables, x_rgb_w, sigma)
-            if config.denoiser_relax != 1.0:
-                xhat = x_rgb_w + config.denoiser_relax * (xhat - x_rgb_w)
+            if use_relax:
+                xhat = x_rgb_w + relax_k * (xhat - x_rgb_w)
 
-            theta = jnp.clip(bayer.rggb_subsample(xhat), 0.0, 1.0)
-            b = b + (x - theta)
+            theta_pre = bayer.rggb_subsample(xhat)
+            theta = jnp.clip(theta_pre, 0.0, 1.0)
+            if config.faithful_aliasing:
+                # k==0 only: the dual sees the pre-clip theta instead of x
+                x_for_dual = jnp.where(k == 0, theta_pre, x)
+            else:
+                x_for_dual = x
+            b = b + (x_for_dual - theta)
             w_dual = w_dual + (x_rgb - xhat)
 
             carry = (x, theta, b, w_dual, xhat, variables, opt_state, key,
@@ -303,6 +350,7 @@ def _build_runner(
             jnp.asarray(sigmas_np),
             jnp.asarray(adapt_mask_np),
             jnp.arange(total_iters),
+            jnp.asarray(relax_np),
         )
         (x, theta, b, w_dual, xhat, variables, opt_state, key,
          dm_variables, dm_opt_state), trace = jax.lax.scan(step, init, xs)
@@ -365,7 +413,7 @@ def two_stage_admm(
 
     if config.adapt is not None and prior is not None:
         if optimizer is None:
-            optimizer = _default_adam(config.adapt.lr)
+            optimizer = _default_adam(first_lr(config.adapt))
         if opt_state is None:
             opt_state = optimizer.init(variables["params"])
     if key is None:
@@ -429,7 +477,7 @@ def two_stage_admm_sequence(
     opt_state = None
     if config.adapt is not None and prior is not None:
         if optimizer is None:
-            optimizer = _default_adam(config.adapt.lr)
+            optimizer = _default_adam(first_lr(config.adapt))
         opt_state = optimizer.init(variables["params"])
 
     dm_opt_state = None
@@ -525,7 +573,7 @@ def two_stage_admm_tiled(
     opt_state = None
     do_adapt = config.adapt is not None and prior is not None
     if do_adapt:
-        optimizer = _default_adam(config.adapt.lr)
+        optimizer = _default_adam(first_lr(config.adapt))
         opt_state = optimizer.init(variables["params"])
 
     grad_axis = "tile" if do_adapt else None
@@ -614,7 +662,7 @@ def two_stage_admm_batched(
 
     if config.adapt is not None and prior is not None:
         if optimizer is None:
-            optimizer = _default_adam(config.adapt.lr)
+            optimizer = _default_adam(first_lr(config.adapt))
         opt_state = optimizer.init(variables["params"])
     else:
         opt_state = None

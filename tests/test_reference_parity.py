@@ -42,10 +42,11 @@ def ffdnet_setup():
     return sd, variables, prior
 
 
-def _run_mine(scene, variables, prior, sigmas, iters, x0=None):
+def _run_mine(scene, variables, prior, sigmas, iters, x0=None,
+              faithful=False):
     cfg = ADMMConfig(
         sigma=tuple(sigmas), iters=tuple(iters), denoiser="ffdnet",
-        use_pallas=False,
+        use_pallas=False, faithful_aliasing=faithful,
     )
     res = two_stage_admm(
         jnp.asarray(scene.meas), jnp.asarray(scene.mask), cfg, prior=prior,
@@ -99,6 +100,181 @@ def test_final_psnr_within_north_star_budget(ffdnet_setup):
     assert abs(p_mine - p_ref) <= 0.1, (p_mine, p_ref)
     # and in this regime both sides must actually reconstruct
     assert p_ref > 25 and p_mine > 25
+
+    # faithful_aliasing replays the reference's iteration-1 artifact: the
+    # residual budget collapses by an order of magnitude
+    mine_f = _run_mine(scene=sc, variables=variables, prior=prior,
+                       sigmas=sigmas, iters=iters, x0=x0, faithful=True)
+    p_mine_f = psnr(orig, mine_f)
+    assert abs(p_mine_f - p_ref) <= 0.02, (p_mine_f, p_ref)
+
+
+@pytest.mark.slow
+def test_scaled_parity_full_beauty_schedule(ffdnet_setup):
+    """Scale canary: the 0.04 dB toy-scale parity must not grow with
+    size/iteration count. 128x128x8 frames, the full Beauty schedule
+    sigma=(25,12,6)/255, iters=(15,6,4) (``two_stage_ADMM_Online_FFD_Warm.py:
+    62-73``), GAP-TV warm start — 25 composed iterations, the benchmark
+    regime's schedule at quarter resolution (pure NumPy/torch-CPU oracle)."""
+    sd, variables, prior = ffdnet_setup
+    sc = make_scene(b=8, h=128, w=128, seed=9)
+    ws = gap_tv(jnp.asarray(sc.meas), jnp.asarray(sc.mask))
+    x0 = np.asarray(ws.x_bayer)
+    sigmas, iters = [25 / 255, 12 / 255, 6 / 255], [15, 6, 4]
+
+    xb_ref, _ = oracle_two_stage_ffdnet(
+        sc.meas, sc.mask, sd, sigmas, iters, x0_bayer=x0,
+        emulate_aliasing=True,
+    )
+    mine = _run_mine(sc, variables, prior, sigmas, iters, x0=x0)
+    orig = np.transpose(sc.orig_bayer, (1, 2, 0))
+    p_ref = psnr(orig, xb_ref)
+    p_mine = psnr(orig, mine)
+    assert abs(p_mine - p_ref) <= 0.1, (p_mine, p_ref)
+    assert p_ref > 28 and p_mine > 28
+
+
+class TestAdaptiveParity:
+    """The flagship semantic — ONLINE ADAPTATION — vs the reference's
+    fresh-Adam-per-trigger update branch
+    (``packages/ffdnet/test_ffdnet_ipol.py:248-301`` called from
+    ``dvp…online.py:200-203``), oracled end-to-end with a real
+    ``torch.optim.Adam`` stepping the actual checkpoint weights."""
+
+    def _run_mine_adaptive(self, scene, variables, prior, sigmas, iters,
+                           adapt, x0=None, faithful=False):
+        cfg = ADMMConfig(
+            sigma=tuple(sigmas), iters=tuple(iters), denoiser="ffdnet",
+            use_pallas=False, adapt=adapt, faithful_aliasing=faithful,
+        )
+        res = two_stage_admm(
+            jnp.asarray(scene.meas), jnp.asarray(scene.mask), cfg,
+            prior=prior, variables=variables,
+            x0_bayer=None if x0 is None else jnp.asarray(x0),
+        )
+        return np.transpose(np.asarray(res.x_bayer), (1, 2, 0)), res
+
+    def test_adaptive_iterate_parity(self, ffdnet_setup):
+        """Aggressive-lr adaptation (so weight drift dominates fp32 noise):
+        the solver in fresh_opt_per_trigger mode tracks the oracle's final
+        Bayer cube through 3 triggers x 2 Adam steps."""
+        from tests.oracle_reference import oracle_two_stage_ffdnet_adaptive
+
+        sd, variables, prior = ffdnet_setup
+        sc = make_scene(b=4, h=32, w=32, seed=3)
+        sigmas, iters = [25 / 255, 12 / 255], [4, 3]
+        lr, upi, init_it, interval = 1e-4, 2, 1, 2
+
+        xb_ref, _ = oracle_two_stage_ffdnet_adaptive(
+            sc.meas, sc.mask, sd, sigmas, iters, lr=lr,
+            update_per_iter=upi, initial_iter=init_it,
+            interval_iter=interval, emulate_aliasing=False,
+        )
+        from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+
+        mine, _ = self._run_mine_adaptive(
+            sc, variables, prior, sigmas, iters,
+            AdaptConfig(lr=lr, update_per_iter=upi, initial_iter=init_it,
+                        interval_iter=interval, fresh_opt_per_trigger=True),
+        )
+        # Discrimination (measured, recorded in RESULTS.md): at this lr the
+        # FIXED-weight trajectory sits ~0.5 max / ~0.11 mean from the
+        # adaptive oracle — and so does CARRIED-Adam mode (~0.54/0.10) —
+        # while fresh-per-trigger tracks it at ~6e-4 max. The residual is
+        # fp32 chaos through bias-corrected step-1 Adam (lr*g/(|g|+eps) is
+        # O(0.1 lr)-sensitive to 1e-8 gradient differences), amplified by
+        # the denoiser over 7 iterations.
+        mine_fixed = _run_mine(sc, variables, prior, sigmas, iters)
+        d_fixed = np.abs(mine_fixed - xb_ref)
+        d_mine = np.abs(mine - xb_ref)
+        assert d_fixed.max() > 50 * d_mine.max(), (d_fixed.max(), d_mine.max())
+        assert d_mine.max() < 2.5e-3, d_mine.max()
+        assert d_mine.mean() < 5e-4, d_mine.mean()
+
+    def test_adaptive_final_psnr_budget(self, ffdnet_setup):
+        """Reference-realistic regime (GAP-TV warm start, Beauty-like
+        cadence, lr=2e-6): final PSNR within the +-0.1 dB north-star budget
+        of the faithful (aliasing-emulating) adaptive oracle."""
+        from tests.oracle_reference import oracle_two_stage_ffdnet_adaptive
+
+        sd, variables, prior = ffdnet_setup
+        sc = make_scene(b=4, h=48, w=48, seed=5)
+        ws = gap_tv(jnp.asarray(sc.meas), jnp.asarray(sc.mask))
+        x0 = np.asarray(ws.x_bayer)
+        sigmas, iters = [25 / 255, 12 / 255, 6 / 255], [4, 4, 2]
+        lr, upi, init_it, interval = 2e-6, 2, 1, 3
+
+        xb_ref, _ = oracle_two_stage_ffdnet_adaptive(
+            sc.meas, sc.mask, sd, sigmas, iters, lr=lr,
+            update_per_iter=upi, initial_iter=init_it,
+            interval_iter=interval, x0_bayer=x0, emulate_aliasing=True,
+        )
+        from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+
+        adapt_cfg = AdaptConfig(lr=lr, update_per_iter=upi,
+                                initial_iter=init_it,
+                                interval_iter=interval,
+                                fresh_opt_per_trigger=True)
+        orig = np.transpose(sc.orig_bayer, (1, 2, 0))
+        p_ref = psnr(orig, xb_ref)
+
+        # clean-dual solver vs the faithful reference: the reference's
+        # iteration-1 aliasing artifact amplified through adaptation costs
+        # ~0.14 dB at this scale — outside the 0.1 dB budget, which is why
+        # ADMMConfig.faithful_aliasing exists
+        mine_clean, _ = self._run_mine_adaptive(
+            sc, variables, prior, sigmas, iters, adapt_cfg, x0=x0)
+        p_clean = psnr(orig, mine_clean)
+        assert abs(p_clean - p_ref) <= 0.3, (p_clean, p_ref)
+
+        # faithful mode replays the artifact: inside the budget with margin
+        mine, _ = self._run_mine_adaptive(
+            sc, variables, prior, sigmas, iters, adapt_cfg, x0=x0,
+            faithful=True)
+        p_mine = psnr(orig, mine)
+        assert abs(p_mine - p_ref) <= 0.1, (p_mine, p_ref)
+        assert p_ref > 25 and p_mine > 25
+
+    def test_adapted_weights_match_oracle(self, ffdnet_setup):
+        """Not just the image: the ADAPTED WEIGHTS the solver returns (which
+        drivers carry to the next measurement) match the oracle's
+        post-adaptation torch parameters."""
+        from tests.oracle_reference import oracle_two_stage_ffdnet_adaptive
+
+        sd, variables, prior = ffdnet_setup
+        sc = make_scene(b=4, h=32, w=32, seed=11)
+        sigmas, iters = [25 / 255], [4]
+        lr = 1e-4
+
+        *_, net = oracle_two_stage_ffdnet_adaptive(
+            sc.meas, sc.mask, sd, sigmas, iters, lr=lr, update_per_iter=2,
+            initial_iter=0, interval_iter=2, emulate_aliasing=False,
+            record=True,
+        )
+        ref_params = net.export_numpy()
+
+        from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+
+        _, res = self._run_mine_adaptive(
+            sc, variables, prior, sigmas, iters,
+            AdaptConfig(lr=lr, update_per_iter=2, initial_iter=0,
+                        interval_iter=2, fresh_opt_per_trigger=True),
+        )
+        import jax
+
+        want_vars = convert.ffdnet_params(ref_params)
+        devs = np.concatenate([
+            (np.asarray(pa) - np.asarray(pb)).ravel()
+            for pa, pb in zip(
+                jax.tree_util.tree_leaves(res.variables["params"]),
+                jax.tree_util.tree_leaves(want_vars["params"]),
+            )
+        ])
+        # a bias-corrected first Adam step is lr*g/(|g|+eps): eps-scale
+        # gradients make a few elements sensitive at O(0.1 lr) to fp32
+        # backward differences between JAX and torch; bulk must be tight
+        assert np.abs(devs).max() < 0.5 * lr, np.abs(devs).max()
+        assert np.abs(devs).mean() < 1e-8, np.abs(devs).mean()
 
 
 def test_exact_match_against_clean_semantics(ffdnet_setup):

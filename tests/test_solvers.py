@@ -365,7 +365,7 @@ def test_fastdvd_adapt_mask_changes_adaptation(scene):
     opt = optax.adam(1e-3)
 
     def run(prior):
-        fn = make_adapt_fn(prior, opt, update_per_iter=1)
+        fn = make_adapt_fn(prior, opt, AdaptConfig(update_per_iter=1))
         v, _, _ = fn(variables, opt.init(variables["params"]),
                      jax.random.PRNGKey(1), rgb, jnp.float32(0.1),
                      y_p, phi_p, y, phi)
@@ -411,3 +411,24 @@ def test_denoiser_relax(scene, tiny_ffdnet):
     np.testing.assert_array_equal(np.asarray(a.x_bayer), np.asarray(b.x_bayer))
     assert not np.allclose(np.asarray(a.x_bayer), np.asarray(c.x_bayer))
     assert np.isfinite(np.asarray(c.x_bayer)).all()
+
+
+def test_denoiser_relax_per_stage(scene, tiny_ffdnet):
+    """A per-sigma-stage relax tuple: an all-ones tuple equals the scalar
+    reference step bitwise; damping only stage 1 changes the trajectory; a
+    wrong-length tuple errors."""
+    model, variables = tiny_ffdnet
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+    kw = dict(prior=ffdnet_prior(model), variables=variables,
+              x0_bayer=scene.orig_bayer)
+    mk = lambda r: ADMMConfig(  # noqa: E731
+        sigma=(25 / 255, 12 / 255), iters=(2, 2), denoiser="ffdnet",
+        denoiser_relax=r)
+    a = two_stage_admm(scene.meas, scene.mask, mk(1.0), **kw)
+    b = two_stage_admm(scene.meas, scene.mask, mk((1.0, 1.0)), **kw)
+    c = two_stage_admm(scene.meas, scene.mask, mk((0.5, 1.0)), **kw)
+    np.testing.assert_array_equal(np.asarray(a.x_bayer), np.asarray(b.x_bayer))
+    assert not np.allclose(np.asarray(a.x_bayer), np.asarray(c.x_bayer))
+    with pytest.raises(ValueError, match="relax stages"):
+        two_stage_admm(scene.meas, scene.mask, mk((0.5,)), **kw)
