@@ -177,6 +177,28 @@ def test_fastdvdnet_train_mode_updates_stats(torch_model):
     )
 
 
+def test_bf16_denblocks_close_to_fp32(torch_model):
+    """dtype=bfloat16 runs the conv/BN chains in bf16 with fp32 residuals:
+    same variables, fp32 output dtype, small numeric delta (measured
+    identical PSNR in the composed solver — scripts/bench_fastdvd_bf16.py)."""
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    variables = convert.fastdvdnet_variables(sd)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 5, 16, 16, 3), dtype=np.float32))
+    sigma = jnp.float32(20 / 255)
+
+    a = FastDVDnet().apply(variables, x, sigma)
+    b = FastDVDnet(dtype=jnp.bfloat16).apply(variables, x, sigma)
+    assert b.dtype == jnp.float32
+    assert float(jnp.abs(a - b).max()) < 2e-2
+    assert float(jnp.abs(a - b).mean()) < 2e-3
+    # seq path too
+    sa = FastDVDnet().apply(variables, x[0], sigma, method="seq_circular")
+    sb = FastDVDnet(dtype=jnp.bfloat16).apply(variables, x[0], sigma,
+                                              method="seq_circular")
+    assert float(jnp.abs(sa - sb).max()) < 2e-2
+
+
 def test_seq_circular_matches_per_window(torch_model):
     """The shared-triplet sequence path (temp1 once per distinct circular
     triplet) must equal explicit per-window evaluation — same weights,
