@@ -44,10 +44,11 @@ def twin():
     return m, variables
 
 
-def _run_mine(scene, variables, sigmas, iters, adapt=None, prior=None):
+def _run_mine(scene, variables, sigmas, iters, adapt=None, prior=None,
+              faithful=False):
     cfg = ADMMConfig(
         sigma=tuple(sigmas), iters=tuple(iters), denoiser="fastdvd",
-        use_pallas=False, adapt=adapt,
+        use_pallas=False, adapt=adapt, faithful_aliasing=faithful,
     )
     assert cfg.rho == 0.55  # the fastdvd-specific penalty (dvp:106-109)
     res = two_stage_admm(
@@ -93,6 +94,12 @@ def test_fixed_weight_final_psnr_budget(twin):
     p_ref = psnr(orig, xb_ref)
     p_mine = psnr(orig, mine)
     assert abs(p_mine - p_ref) <= 0.1, (p_mine, p_ref)
+
+    # faithful_aliasing replays the reference's iteration-1 dual artifact
+    # (same flag as the FFDNet path): residual collapses
+    mine_f, _ = _run_mine(sc, variables, sigmas, iters, faithful=True)
+    p_mine_f = psnr(orig, mine_f)
+    assert abs(p_mine_f - p_ref) <= 0.02, (p_mine_f, p_ref)
 
 
 def test_adaptive_parity_lr_stages(twin):
