@@ -206,6 +206,13 @@ def main(out_path: str = "RESULTS.md") -> None:
         fps = frames / t if t == t and t > 0 else float("nan")
         lines.append(f"| {name} | {t:.3f} | {fps:.1f} | {p:.2f} | {s:.4f} |")
     text = "\n".join(lines) + "\n"
+    # preserve the hand-written analysis sections below the table (the first
+    # "## " heading onward) — only the measured table is regenerated
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            text = text + old[idx:]
     with open(out_path, "w") as f:
         f.write(text)
     print(text)
