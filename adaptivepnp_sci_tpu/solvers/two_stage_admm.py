@@ -346,17 +346,19 @@ def _build_runner(
         )
 
         # The adaptation schedule is STATIC (precomputed host-side), so the
-        # solver is laid out as scan segments split at the trigger
-        # iterations, with each trigger iteration unrolled fire-inline.
-        # This replaces the previous lax.cond-inside-scan design: on TPU a
-        # rarely-taken conditional whose branch holds the full denoiser
-        # fwd+bwd graph costs ~1 s extra on its first execution per program
-        # run (measured on the 512^2x8 FastDVD benchmark: cond-in-scan
-        # 3.26 s vs 2.29 s segmented, identical math), and under vmap
-        # (tiled solver) lax.cond lowers to select, executing the
-        # adaptation EVERY iteration. Static segmentation avoids both.
-        scan_step = lambda c, i: step_body(c, i, False)  # noqa: E731
-
+        # solver is laid out as maximal same-mask runs: non-firing runs
+        # compile to a ``lax.scan`` of the plain step, an isolated trigger
+        # iteration is unrolled fire-inline, and a run of CONSECUTIVE
+        # triggers (dense masks, e.g. interval_iter=1) compiles to one
+        # ``lax.scan`` of the firing step — so program size stays bounded
+        # at both cadence extremes. This replaces the previous
+        # lax.cond-inside-scan design: on TPU a rarely-taken conditional
+        # whose branch holds the full denoiser fwd+bwd graph costs ~1 s
+        # extra on its first execution per program run (measured on the
+        # 512^2x8 FastDVD benchmark: cond-in-scan 3.26 s vs 2.29 s
+        # segmented, identical math), and under vmap (tiled solver)
+        # lax.cond lowers to select, executing the adaptation EVERY
+        # iteration. Static segmentation avoids both.
         def xs_slice(lo, hi):
             return (
                 jnp.asarray(sigmas_np[lo:hi]),
@@ -364,21 +366,23 @@ def _build_runner(
                 jnp.asarray(relax_np[lo:hi]),
             )
 
-        trigger_iters = np.nonzero(adapt_mask_np)[0].tolist()
+        mask = np.asarray(adapt_mask_np, bool)
+        run_bounds = [0] + (
+            np.nonzero(mask[1:] != mask[:-1])[0] + 1
+        ).tolist() + [total_iters]
         traces = []
-        start = 0
-        for t in trigger_iters:
-            if t > start:
-                carry, tr = jax.lax.scan(scan_step, carry, xs_slice(start, t))
-                traces.append(tr)
-            inp_t = (jnp.float32(sigmas_np[t]), jnp.int32(t),
-                     jnp.float32(relax_np[t]))
-            carry, tr_t = step_body(carry, inp_t, True)
-            traces.append(tr_t[None])
-            start = t + 1
-        if start < total_iters or not traces:
-            carry, tr = jax.lax.scan(scan_step, carry,
-                                     xs_slice(start, total_iters))
+        for lo, hi in zip(run_bounds[:-1], run_bounds[1:]):
+            fire = bool(mask[lo]) if hi > lo else False
+            if fire and hi - lo == 1:
+                inp = (jnp.float32(sigmas_np[lo]), jnp.int32(lo),
+                       jnp.float32(relax_np[lo]))
+                carry, tr = step_body(carry, inp, True)
+                tr = tr[None]
+            else:
+                carry, tr = jax.lax.scan(
+                    lambda c, i, f=fire: step_body(c, i, f),
+                    carry, xs_slice(lo, hi),
+                )
             traces.append(tr)
         trace = traces[0] if len(traces) == 1 else jnp.concatenate(traces)
 

@@ -96,8 +96,10 @@ def main(out_path: str = "RESULTS.md") -> None:
         from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
 
         # bf16 conv/BN chains with fp32 residuals: measured 5.19 -> 3.55
-        # s/run at identical PSNR (scripts/bench_fastdvd_bf16.py)
-        fmodel = FastDVDnet(dtype=jnp.bfloat16)
+        # s/run at identical PSNR (scripts/bench_fastdvd_bf16.py); with the
+        # dense block-diagonal input conv + segmented adaptation scan this
+        # is 2.8 s, and remat=False (activations fit HBM at bf16) 2.7 s
+        fmodel = FastDVDnet(dtype=jnp.bfloat16, remat=False)
         fvars = jax.device_put(load_checkpoint_variables(fdvd_path))
         # shared-triplet sequence path: temp1 once per distinct circular
         # triplet (B evals, not 3B) — half the conv work and a third of the

@@ -208,3 +208,49 @@ def test_admm_solver_accepts_fresh_and_staged_config(scene):
     assert not np.allclose(
         np.asarray(res_fresh.x_bayer), np.asarray(res_carried.x_bayer)
     )
+
+
+@pytest.mark.parametrize(
+    "interval,initial",
+    [
+        (1, 0),   # dense: fires every iteration from k=1 (max unrolling)
+        (6, 0),   # single trigger at the FINAL iteration (trailing segment empty)
+        (2, 0),   # k=2,4,6 — includes the final iteration and 2-long segments
+    ],
+)
+def test_segmented_schedule_lr0_matches_no_adapt(scene, interval, initial):
+    """lr=0 adaptation must reproduce the no-adaptation trajectory exactly.
+
+    The solver lays the schedule out as lax.scan segments split at the
+    static trigger iterations (two_stage_admm.py segment loop); an
+    off-by-one in the sigma/k/relax slices, a dropped iteration at a
+    segment boundary, or a mis-ordered trace concatenation would shift the
+    schedule and break this bit-for-bit equality. Trigger placements cover
+    the edges: dense masks, a trigger at the final iteration (empty
+    trailing segment), and triggers spaced mid-schedule.
+    """
+    from adaptivepnp_sci_tpu.solvers import ADMMConfig, two_stage_admm
+
+    model = FFDNet(in_nc=3, out_nc=3, nc=8, nb=4)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), jnp.float32(0.1)
+    )
+    prior = ffdnet_prior(model)
+
+    def run(adapt):
+        cfg = ADMMConfig(sigma=(0.1, 0.05), iters=(4, 3), denoiser="ffdnet",
+                         adapt=adapt)
+        return two_stage_admm(
+            scene.meas, scene.mask, cfg, prior=prior, variables=variables,
+            x0_bayer=scene.orig_bayer, orig_bayer=scene.orig_bayer,
+        )
+
+    ref = run(None)
+    res = run(AdaptConfig(lr=0.0, update_per_iter=1, interval_iter=interval,
+                          initial_iter=initial))
+    np.testing.assert_array_equal(
+        np.asarray(res.x_bayer), np.asarray(ref.x_bayer)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.psnr_trace), np.asarray(ref.psnr_trace)
+    )
