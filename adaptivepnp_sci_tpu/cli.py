@@ -52,16 +52,32 @@ def _cmd_reconstruct(args) -> None:
 
     scene = load_cacti_mat(args.data, name=args.name)
 
-    def load_weights(path, torch_loader, init_fn):
-        """Accept reference .pth (converted), our .npz / orbax checkpoints,
-        or fall back to random init."""
+    def load_weights(path, torch_loader, init_fn, defaults=()):
+        """Accept reference .pth (converted) or our .npz / orbax checkpoints.
+        Without an explicit path, fall back to the first existing default
+        checkpoint; random init ONLY with --random-init (a random denoiser
+        reconstructs garbage — never a silent fallback)."""
+        import os
+
         if not path:
-            return init_fn()
+            if args.random_init:
+                return init_fn()
+            path = next((d for d in defaults if os.path.exists(d)), None)
+            if path is None:
+                raise SystemExit(
+                    "error: no --ckpt given and no default checkpoint found "
+                    f"(searched: {', '.join(defaults)}). Pass --ckpt, or "
+                    "--random-init for an untrained-model smoke test."
+                )
         if path.endswith(".pth"):
             return torch_loader(path)
         from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
 
         return load_checkpoint_variables(path)
+
+    import pathlib
+
+    repo_weights = pathlib.Path(__file__).resolve().parent.parent / "weights"
 
     if args.denoiser == "ffdnet":
         from adaptivepnp_sci_tpu.models.convert import load_ffdnet
@@ -73,6 +89,8 @@ def _cmd_reconstruct(args) -> None:
             args.ckpt, load_ffdnet,
             lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                                jnp.float32(0.1)),
+            defaults=("/root/reference/model_zoo/ffdnet_color.pth",
+                      str(repo_weights / "ffdnet_color.pth")),
         )
         prior = ffdnet_prior(model)
     else:
@@ -81,12 +99,15 @@ def _cmd_reconstruct(args) -> None:
         from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
 
         # --bf16: conv/BN chains in bf16 with fp32 residuals (measured
-        # 1.5x faster at identical PSNR, scripts/bench_fastdvd_bf16.py)
-        model = FastDVDnet(dtype=jnp.bfloat16 if args.bf16 else None)
+        # 1.5x faster at identical PSNR, scripts/bench_fastdvd_bf16.py);
+        # bf16 activations fit HBM un-remat'd, worth another ~5% in-loop
+        model = FastDVDnet(dtype=jnp.bfloat16 if args.bf16 else None,
+                           remat=not args.bf16)
         variables = load_weights(
             args.ckpt, load_fastdvdnet,
             lambda: model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 5, 64, 64, 3)), jnp.float32(0.1)),
+            defaults=(str(repo_weights / "fastdvd.npz"),),
         )
         # shared-triplet sequence path (temp1 once per distinct triplet)
         prior = fastdvd_prior(model)
@@ -108,6 +129,7 @@ def _cmd_reconstruct(args) -> None:
         dd_vars = load_weights(
             args.ddnet_ckpt, load_ddnet,
             lambda: dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 64, 64, 3))),
+            defaults=(str(repo_weights / "ddnet.npz"),),
         )
         if not args.dm_update:
             demosaic_fn = ddnet_demosaic(dd, dd_vars)
@@ -347,8 +369,12 @@ def main(argv=None) -> None:
     r.add_argument("--warm", default=None)
     r.add_argument("--out", default=None)
     r.add_argument("--denoiser", choices=["ffdnet", "fastdvd"], default="ffdnet")
-    r.add_argument("--ckpt", default=None)
+    r.add_argument("--ckpt", default=None,
+                   help="denoiser checkpoint (.pth or .npz); defaults to the "
+                        "reference model_zoo / shipped weights/ checkpoint")
     r.add_argument("--ddnet-ckpt", default=None)
+    r.add_argument("--random-init", action="store_true",
+                   help="run with untrained weights (smoke tests only)")
     r.add_argument("--deep-demosaicking", action="store_true")
     r.add_argument("--dm-update", action="store_true",
                    help="adapt the DDnet demosaicker online (self-consistency)")

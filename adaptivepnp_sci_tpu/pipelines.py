@@ -161,6 +161,13 @@ def run_reconstruction(
     * ``dm_in_scan=False`` — once per measurement before the solve (cheaper;
       each adapted demosaicker is a fresh closure, so the solver re-traces
       per measurement).
+
+    ``warm_start=None`` computes the GAP-TV warm start inline (40 iters,
+    the reference's mandatory stage 1 — ``ADMM_TV_Warm_Start_save.py``).
+    The two-stage solver is not designed for cold starts: from the raw
+    adjoint it stalls near init (measured ~9 dB vs ~37 dB warm-started at
+    64², 25 iters), so silently falling back to adjoint init would be a
+    trap, not a feature.
     """
     if config is None:
         config = admm_config_for(scene.name, denoiser, deep_demosaicking, update)
@@ -186,7 +193,12 @@ def run_reconstruction(
             variables, opt_state = initial_variables, None
         t0 = time.perf_counter()
         orig = scene.orig_bayer[t] if scene.orig_bayer is not None else None
-        x0 = warm_start[t] if warm_start is not None else None
+        if warm_start is not None:
+            x0 = warm_start[t]
+        else:
+            x0 = gap_tv(
+                scene.meas[t], scene.mask, GapTVConfig(iters=WARM_START_ITERS)
+            ).x_bayer
         if dm_adapt is not None:
             from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
