@@ -39,6 +39,8 @@ def test_cli_warmstart_and_reconstruct(tmp_path, scene_mat, capsys):
     ]
     if os.path.exists(FFD_CKPT):
         args += ["--ckpt", FFD_CKPT]
+    else:
+        args += ["--random-init"]  # untrained weights are opt-in only
     main(args)
     out = capsys.readouterr().out
     assert "PSNR" in out
@@ -46,3 +48,21 @@ def test_cli_warmstart_and_reconstruct(tmp_path, scene_mat, capsys):
     assert saved["v_recon_bayer"].shape == (32, 32, 4)
     assert np.isfinite(saved["v_recon_bayer"]).all()
     assert saved["psnr"].shape == (1, 4)
+
+
+@pytest.mark.skipif(not os.path.exists(FFD_CKPT), reason="reference ckpt absent")
+def test_cli_reconstruct_resolves_default_ckpt_and_warm_start(
+    tmp_path, scene_mat, capsys
+):
+    """No --ckpt and no --warm: the CLI must resolve the model_zoo default
+    checkpoint and compute the GAP-TV warm start inline — NOT silently run a
+    random-init denoiser from adjoint init (which reconstructs ~6 dB
+    garbage; regression test for the round-3 CLI fix)."""
+    results = str(tmp_path / "results.mat")
+    main(["reconstruct", "--data", scene_mat, "--name", "Beauty",
+          "--denoiser", "ffdnet", "--out", results, "--no-update"])
+    capsys.readouterr()
+    saved = sio.loadmat(results)
+    # trained weights + warm start land far above the garbage regime even
+    # on a 32px synthetic scene
+    assert saved["psnr"].mean() > 20.0
