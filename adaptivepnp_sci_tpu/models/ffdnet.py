@@ -31,6 +31,7 @@ class FFDNet(nn.Module):
     nc: int = 96
     nb: int = 12
     dtype: jnp.dtype = jnp.float32
+    interior_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: Array, sigma: Array) -> Array:
@@ -45,17 +46,22 @@ class FFDNet(nn.Module):
         )
         x = jnp.concatenate([x, sigma], axis=-1).astype(self.dtype)
 
+        # ``interior_dtype`` (e.g. bf16) runs the nb-2 interior convs at
+        # reduced precision while the endpoint convs — where the raw image
+        # enters and the residual estimate leaves — stay at ``dtype``.
+        idt = self.interior_dtype or self.dtype
+
         x = nn.Conv(self.nc, (3, 3), padding="SAME", dtype=self.dtype, name="conv_0")(x)
-        x = nn.relu(x)
+        x = nn.relu(x).astype(idt)
         for i in range(self.nb - 2):
             x = nn.Conv(
-                self.nc, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv_{i + 1}"
+                self.nc, (3, 3), padding="SAME", dtype=idt, name=f"conv_{i + 1}"
             )(x)
             x = nn.relu(x)
         x = nn.Conv(
             self.out_nc * 4, (3, 3), padding="SAME", dtype=self.dtype,
             name=f"conv_{self.nb - 1}",
-        )(x)
+        )(x.astype(self.dtype))
 
         x = depth_to_space(x.astype(jnp.float32), 2)
         return x[:, :h, :w]

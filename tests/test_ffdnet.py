@@ -96,3 +96,26 @@ def test_ffdnet_gray_loads():
     x = jnp.zeros((1, 32, 32, 1), jnp.float32)
     y = model.apply(variables, x, jnp.float32(0.1))
     assert y.shape == (1, 32, 32, 1)
+
+
+@pytest.mark.skipif(not os.path.exists(CKPT), reason="reference ckpt absent")
+def test_ffdnet_interior_bf16_close_to_fp32(rng):
+    """``interior_dtype=bf16`` (endpoint convs fp32) must track the fp32
+    output closely — this is the quality gate for the mixed-precision
+    flagship variant (scripts/ab_ffdnet_precision.py). Same variables work
+    for both modes (dtype is a cast at apply time, not a weight format)."""
+    variables = convert.load_ffdnet(CKPT)
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    sigma = jnp.float32(25 / 255)
+
+    ref = np.asarray(ffdnet_color().apply(variables, x, sigma))
+    mixed_model = FFDNet(in_nc=3, out_nc=3, nc=96, nb=12,
+                         interior_dtype=jnp.bfloat16)
+    mixed = np.asarray(mixed_model.apply(variables, x, sigma))
+
+    assert mixed.dtype == np.float32
+    # bf16 has ~3 decimal digits; interior rounding over 10 layers lands at
+    # ~4e-3 mean abs on [0,1] pure-noise input (the worst case — real use
+    # gates on end-to-end flagship PSNR, scripts/ab_ffdnet_precision.py)
+    np.testing.assert_allclose(mixed, ref, atol=3e-2)
+    assert float(np.abs(mixed - ref).mean()) < 6e-3
