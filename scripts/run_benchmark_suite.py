@@ -112,7 +112,9 @@ def main(out_path: str = "RESULTS.md") -> None:
                                             interval_iter=12, initial_iter=1))
         f3 = lambda: (reconstruct_single_dispatch(  # noqa: E731
             y, phi, wcfg, cfg3, fprior, fvars, orig=orig).x_bayer,)
-        t, _ = timed(f3)
+        # n=4: the adaptive-branch runs carry +-0.4 s tunnel jitter (the
+        # no-adapt run is stable at 1.59 s +-0.03; measured round 3)
+        t, _ = timed(f3, n=4)
         r = reconstruct_single_dispatch(y, phi, wcfg, cfg3, fprior, fvars, orig=orig)
         rows.append(("3. two-stage ADMM + FastDVDnet (regenerated wts, bf16)", t,
                      float(r.psnr_per_frame.mean()),
@@ -125,7 +127,7 @@ def main(out_path: str = "RESULTS.md") -> None:
         cfg3b = dataclasses.replace(cfg3, denoiser_relax=(0.3, 1.0))
         f3b = lambda: (reconstruct_single_dispatch(  # noqa: E731
             y, phi, wcfg, cfg3b, fprior, fvars, orig=orig).x_bayer,)
-        t, _ = timed(f3b)
+        t, _ = timed(f3b, n=4)
         r = reconstruct_single_dispatch(y, phi, wcfg, cfg3b, fprior, fvars,
                                         orig=orig)
         rows.append(("3b. + per-stage relax (0.3, 1.0) [extension]", t,
