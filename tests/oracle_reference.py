@@ -583,6 +583,164 @@ def oracle_two_stage_fastdvd(
     return x_bayer_out, rgb_out
 
 
+def _ddnet_seqdenoise(torch_ddnet, frames_fchw, grad=False):
+    """torch twin of ``ddnet_seqdenoise``
+    (``packages/DDnet/DDnet_test.py:166-204``): per-frame CIRCULAR 5-window
+    joint demosaic+denoise, no noise map. ``frames_fchw``: (B, 3, H, W)
+    sparse-CFA tensor. H/W must be multiples of 4 (the reference
+    reflect-pads otherwise; test scenes avoid that branch)."""
+    import torch
+
+    n, c, h, w = frames_fchw.shape
+    assert h % 4 == 0 and w % 4 == 0, (h, w)
+
+    def run():
+        outs = []
+        for f in range(n):
+            idx = [(f + j - 2) % n for j in range(5)]
+            seq = frames_fchw[idx].reshape(1, -1, h, w)
+            outs.append(torch_ddnet(seq)[0])
+        return torch.stack(outs)  # (B, 3, H, W)
+
+    if grad:
+        return run()
+    with torch.no_grad():
+        return run()
+
+
+def _sparse_cfa(rgb_fchw):
+    """torch twin of ``gen_bayer_img`` (``DDnet_test.py:207-215``): zero a
+    (B, 3, H, W) RGB cube everywhere except each channel's RGGB CFA sites."""
+    import torch
+
+    out = torch.zeros_like(rgb_fchw)
+    out[:, 0, 0::2, 0::2] = rgb_fchw[:, 0, 0::2, 0::2]
+    out[:, 1, 0::2, 1::2] = rgb_fchw[:, 1, 0::2, 1::2]
+    out[:, 1, 1::2, 0::2] = rgb_fchw[:, 1, 1::2, 0::2]
+    out[:, 2, 1::2, 1::2] = rgb_fchw[:, 2, 1::2, 1::2]
+    return out
+
+
+def oracle_two_stage_ffdnet_ddnet_dm(
+    y,
+    phi,
+    ffdnet_sd,
+    torch_ddnet,
+    sigmas,
+    iters,
+    dm_lr=1e-6,
+    dm_update_per_iter=1,
+    dm_update=True,
+    x0_bayer=None,
+    emulate_aliasing=True,
+):
+    """The reference's deep-demosaicking branch with in-scan ``dm_update``
+    (``dvp…online.py:192-194`` calling ``test_ddnet``,
+    ``packages/DDnet/DDnet_test.py:218-321``): every ADMM iteration, the
+    demosaic step (a) runs ``dm_update_per_iter`` self-consistency Adam
+    steps on the DDnet — circular-window denoise of the sparse-CFA input
+    with grad (:263-267), ``loss = MSE(vnoisy, gen_bayer_img(out))``
+    (:270-275), and a FRESH ``torch.optim.Adam`` constructed INSIDE every
+    step (:278-281: bias-corrected step-1 semantics, optimizer state never
+    carried) — then (b) demosaics with the refined weights in a no-grad
+    pass (:284-288). Denoiser: fixed-weight FFDNet (rho=1, alpha=1,
+    tau=100), isolating dm-adaptation parity.
+
+    Returns ``(x_bayer (H, W, B), dm_state_dict_numpy)`` — the adapted
+    DDnet weights are part of the contract (drivers carry them across
+    measurements).
+    """
+    import torch
+
+    from tests.test_ffdnet import torch_ffdnet_forward
+
+    h, w = y.shape
+    nb = phi.shape[0]
+    phi_hwb = np.transpose(np.asarray(phi, np.float32), (1, 2, 0))
+    yall = pack4(np.asarray(y, np.float32))
+    phiall = pack4(phi_hwb)
+    phisum = phiall.sum(2)
+    phisum[phisum == 0] = 1.0
+
+    if x0_bayer is None:
+        x0 = phiall * yall[:, :, None, :]
+    else:
+        x0 = pack4(np.transpose(np.asarray(x0_bayer, np.float32), (1, 2, 0)))
+
+    rho, alpha, tau = 1.0, 1.0, 100.0
+    theta = x0.copy()
+    ball = np.zeros_like(x0)
+    w_dual = np.zeros((h, w, 3, nb), np.float32)
+    mse = torch.nn.MSELoss()
+    k = 0
+
+    for nsig, ni in zip(sigmas, iters):
+        for _ in range(ni):
+            p = theta - ball / rho
+            yb = (p * phiall).sum(2)
+            tc = (yall - yb) / (alpha * rho + phisum)
+            x = p + phiall * tc[:, :, None, :]
+
+            xb = x + ball / rho
+            x_bayer = scatter4(xb, h, w)             # (H, W, B)
+
+            # oneCh2ThreeCh (utils/utils_image.py:150-160): sparse-CFA RGB
+            vnoisy = _sparse_cfa(
+                torch.from_numpy(
+                    np.ascontiguousarray(
+                        np.broadcast_to(
+                            np.transpose(x_bayer, (2, 0, 1))[:, None],
+                            (nb, 3, h, w),
+                        )
+                    )
+                )
+            )
+
+            if dm_update:
+                torch_ddnet.train()
+                for _step in range(dm_update_per_iter):
+                    outv = _ddnet_seqdenoise(torch_ddnet, vnoisy, grad=True)
+                    loss = mse(vnoisy, _sparse_cfa(outv))
+                    optimizer = torch.optim.Adam(
+                        torch_ddnet.parameters(), lr=dm_lr
+                    )  # fresh INSIDE every step (DDnet_test.py:278-281)
+                    optimizer.zero_grad()
+                    loss.backward()
+                    optimizer.step()
+
+            outv = _ddnet_seqdenoise(torch_ddnet, vnoisy, grad=False)
+            xbgr3 = outv.permute(2, 3, 1, 0).numpy()  # (H, W, 3, B)
+            x_rgb = xbgr3
+
+            x_rgb_w = x_rgb - w_dual / tau
+
+            frames = np.transpose(x_rgb_w, (3, 2, 0, 1)).astype(np.float32)
+            den = np.stack(
+                [
+                    torch_ffdnet_forward(
+                        ffdnet_sd, frames[m : m + 1], np.float32(nsig)
+                    )[0]
+                    for m in range(nb)
+                ],
+                0,
+            )
+            den_hw3b = np.transpose(den, (2, 3, 1, 0))
+
+            theta_pre = rggb_subsample(den_hw3b)
+            theta_new = np.clip(theta_pre, 0.0, 1.0)
+            if emulate_aliasing and k == 0:
+                x_for_dual = theta_pre
+            else:
+                x_for_dual = x
+            ball = ball + (x_for_dual - theta_new)
+            w_dual = w_dual + (x_rgb - den_hw3b)
+            theta = theta_new
+            k += 1
+
+    dm_state = {kk: v.detach().numpy() for kk, v in torch_ddnet.state_dict().items()}
+    return scatter4(theta, h, w), dm_state
+
+
 def psnr(a, b):
     mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
     return 10 * np.log10(1.0 / mse)

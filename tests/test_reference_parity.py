@@ -277,6 +277,99 @@ class TestAdaptiveParity:
         assert np.abs(devs).mean() < 1e-8, np.abs(devs).mean()
 
 
+class TestDmUpdateParity:
+    """In-scan DDnet ``dm_update`` — the third and last adaptation path —
+    vs the reference's interleaving (``dvp…online.py:192-194`` +
+    ``packages/DDnet/DDnet_test.py:218-321``), oracled end-to-end with a
+    real ``torch.optim.Adam`` constructed fresh inside every update step
+    (the reference's ``DDnet_test.py:278-281`` optimizer semantics =
+    ``dm_fresh_opt``/``DmSpec.fresh_opt``)."""
+
+    @pytest.fixture()
+    def dm_setup(self, ffdnet_setup):
+        import torch
+
+        from tests.test_ddnet import TDDnet
+
+        torch.manual_seed(4)
+        tm = TDDnet()
+        with torch.no_grad():
+            tm.weight_tensor_in.normal_(1.0, 0.1)
+            tm.weight_tensor_in2.normal_(1.0, 0.1)
+            tm.weight_tensor_out.normal_(0.5, 0.1)
+        sd = {k: v.detach().numpy().copy() for k, v in tm.state_dict().items()}
+        dm_vars = convert.ddnet_variables(sd)
+        return tm, dm_vars
+
+    def _run_mine_dm(self, scene, variables, prior, dm_vars, sigmas, iters,
+                     dm_lr, dm_upi, fresh_opt=True):
+        from adaptivepnp_sci_tpu.models.ddnet import DDnet
+        from adaptivepnp_sci_tpu.solvers.two_stage_admm import make_dm_spec
+
+        spec = make_dm_spec(DDnet(), lr=dm_lr, update_per_iter=dm_upi,
+                            fresh_opt=fresh_opt)
+        cfg = ADMMConfig(sigma=tuple(sigmas), iters=tuple(iters),
+                         denoiser="ffdnet", use_pallas=False)
+        res = two_stage_admm(
+            jnp.asarray(scene.meas), jnp.asarray(scene.mask), cfg,
+            prior=prior, variables=variables,
+            dm_spec=spec, dm_variables=dm_vars,
+            dm_opt_state=spec.optimizer.init(dm_vars),
+        )
+        return np.transpose(np.asarray(res.x_bayer), (1, 2, 0)), res
+
+    def test_dm_update_iterate_parity(self, ffdnet_setup, dm_setup):
+        """Aggressive dm_lr (weight drift dominates fp32 noise): the in-scan
+        dm-adapted solver tracks the oracle's final Bayer cube through
+        4 iterations x 2 fresh-Adam steps, and a no-dm-update run does NOT
+        (discrimination)."""
+        from tests.oracle_reference import oracle_two_stage_ffdnet_ddnet_dm
+
+        sd, variables, prior = ffdnet_setup
+        tm, dm_vars = dm_setup
+        sc = make_scene(b=4, h=32, w=32, seed=13)
+        sigmas, iters = [25 / 255], [4]
+        dm_lr, dm_upi = 1e-4, 2
+
+        xb_ref, dm_state_ref = oracle_two_stage_ffdnet_ddnet_dm(
+            sc.meas, sc.mask, sd, tm, sigmas, iters,
+            dm_lr=dm_lr, dm_update_per_iter=dm_upi,
+            emulate_aliasing=False,
+        )
+        want = np.transpose(xb_ref, (0, 1, 2))  # already (H, W, B)
+
+        mine, res = self._run_mine_dm(
+            sc, variables, prior, dm_vars, sigmas, iters, dm_lr, dm_upi)
+
+        # discrimination: freezing the demosaicker (lr=0) must diverge from
+        # the adaptive oracle far more than the adaptive solver does
+        mine_fixed, _ = self._run_mine_dm(
+            sc, variables, prior, dm_vars, sigmas, iters, 0.0, dm_upi)
+        d_fixed = np.abs(mine_fixed - want)
+        d_mine = np.abs(mine - want)
+        assert d_fixed.max() > 20 * d_mine.max(), (d_fixed.max(), d_mine.max())
+        assert d_mine.max() < 5e-3, d_mine.max()
+        assert d_mine.mean() < 5e-4, d_mine.mean()
+
+        # the ADAPTED DEMOSAICKER WEIGHTS (carried across measurements by
+        # drivers) match the oracle's post-adaptation torch parameters
+        import jax
+
+        want_vars = convert.ddnet_variables(dm_state_ref)
+        devs = np.concatenate([
+            (np.asarray(pa) - np.asarray(pb)).ravel()
+            for pa, pb in zip(
+                jax.tree_util.tree_leaves(res.dm_variables["params"]),
+                jax.tree_util.tree_leaves(want_vars["params"]),
+            )
+        ])
+        # 8 fresh step-1 Adam steps (lr*g/(|g|+eps)): elements with
+        # eps-scale gradients are O(lr)-sensitive per step to fp32 backward
+        # differences between JAX and torch; bulk must be tight
+        assert np.abs(devs).max() < 2.0 * dm_lr, np.abs(devs).max()
+        assert np.abs(devs).mean() < 1e-7, np.abs(devs).mean()
+
+
 def test_exact_match_against_clean_semantics(ffdnet_setup):
     """Against the clean-dual oracle the match is numerically tight (<1e-4
     max abs after 10 composed iterations) — solver-drift canary."""
