@@ -158,3 +158,39 @@ def test_adaptive_parity_lr_stages(twin):
     assert np.abs(devs).max() < 2.5 * max(lrs), np.abs(devs).max()
     assert np.abs(devs).mean() < 1e-7, np.abs(devs).mean()
     assert np.quantile(np.abs(devs), 0.999) < 2e-5
+
+
+@pytest.mark.slow
+def test_scaled_parity_beauty_fastdvd_schedule(twin):
+    """Scale canary for the FASTDVD branch (the FFDNet one lives in
+    ``test_reference_parity.py``): toy-scale parity must not grow with
+    size/iteration count. 128x128x8 frames with the reference's FastDVD
+    Beauty schedule sigma=(12,6)/255, iters=(21,2)
+    (``two_stage_ADMM_Online_FastDVD_Warm.py:61-80``), GAP-TV warm start —
+    23 composed rho=0.55 iterations through circular-window denoising."""
+    from adaptivepnp_sci_tpu.solvers.gap_tv import gap_tv
+
+    m, variables = twin
+    sc = make_scene(b=8, h=128, w=128, seed=17)
+    ws = gap_tv(jnp.asarray(sc.meas), jnp.asarray(sc.mask))
+    x0 = np.asarray(ws.x_bayer)
+    sigmas, iters = [12 / 255, 6 / 255], [21, 2]
+
+    xb_ref, _ = oracle_two_stage_fastdvd(
+        sc.meas, sc.mask, copy.deepcopy(m), sigmas, iters, x0_bayer=x0,
+        emulate_aliasing=True,
+    )
+    cfg = ADMMConfig(sigma=tuple(sigmas), iters=tuple(iters),
+                     denoiser="fastdvd", use_pallas=False,
+                     faithful_aliasing=True)
+    res = two_stage_admm(
+        jnp.asarray(sc.meas), jnp.asarray(sc.mask), cfg,
+        prior=fastdvd_prior(FastDVDnet()), variables=variables,
+        x0_bayer=jnp.asarray(x0),
+    )
+    mine = np.transpose(np.asarray(res.x_bayer), (1, 2, 0))
+    orig = np.transpose(sc.orig_bayer, (1, 2, 0))
+    p_ref, p_mine = psnr(orig, xb_ref), psnr(orig, mine)
+    # random-weight twin: reconstruction quality is meaningless, PARITY is
+    # the assertion — both sides must land within the north-star budget
+    assert abs(p_mine - p_ref) <= 0.1, (p_mine, p_ref)
