@@ -40,15 +40,22 @@ def dm_consistency_loss(model, variables, mosaic_frames: Array,
 
 
 def make_dm_adapt_fn(model, lr: float = 1e-6, update_per_iter: int = 1,
-                     window: int = 5):
+                     window: int = 5, fresh_opt: bool = False):
     """Returns jitted ``adapt(variables, opt_state, mosaic_frames) ->
-    (variables, opt_state, loss)`` running ``update_per_iter`` Adam steps."""
+    (variables, opt_state, loss)`` running ``update_per_iter`` Adam steps.
+
+    ``fresh_opt`` re-initializes the optimizer state before EVERY step —
+    the reference constructs a new ``torch.optim.Adam`` inside each update
+    (``DDnet_test.py:278-281``); the default carries one Adam state across
+    steps and measurements (this framework's extension)."""
     optimizer = optax.adam(lr)
 
     @jax.jit
     def adapt(variables, opt_state, mosaic_frames):
         loss_val = jnp.float32(0)
         for _ in range(update_per_iter):
+            if fresh_opt:
+                opt_state = optimizer.init(variables)
             loss_val, grads = jax.value_and_grad(
                 lambda v: dm_consistency_loss(model, v, mosaic_frames, window)
             )(variables)

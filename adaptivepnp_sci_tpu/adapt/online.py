@@ -16,6 +16,7 @@ the reference's mutable ``update_i`` counter semantics.
 
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Any, Callable
 
@@ -91,10 +92,22 @@ def resolve_stages(adapt: AdaptConfig) -> tuple[tuple[float, int], ...]:
 
 
 def first_lr(adapt: AdaptConfig) -> float:
-    """The stage-0 learning rate — what the default optimizer is built with;
-    later stages rescale its updates by ``lr_i / lr_0`` (exact for Adam,
-    whose step is linear in lr)."""
-    return resolve_stages(adapt)[0][0]
+    """Base lr the default optimizer is built with: the first NONZERO stage
+    lr — other stages rescale its updates by ``lr_i / base`` (exact for
+    Adam, whose step is linear in lr; zero-lr stages scale to exactly zero,
+    and a zero BASE would make every rescale 0/0). 1.0 if every stage is 0
+    (all updates then rescale to zero anyway)."""
+    return next((l for l, _ in resolve_stages(adapt) if l != 0.0), 1.0)
+
+
+@_functools.lru_cache(maxsize=16)
+def default_adam(lr: float) -> optax.GradientTransformation:
+    """THE adaptation optimizer: a stable identity per lr (a fresh optax
+    object per call would miss the solver's runner cache and recompile
+    every measurement), and the identity :func:`make_adapt_fn` checks
+    before applying per-stage lr rescaling — the ``lr_i / lr_0`` trick is
+    only exact relative to this optimizer's base lr."""
+    return optax.adam(lr)
 
 
 def make_schedule(
@@ -204,7 +217,14 @@ def make_adapt_fn(
     copy (DP-style grad sync) instead of drifting apart per tile.
     """
     stages = resolve_stages(adapt_cfg)
-    lr0 = stages[0][0]
+    base = first_lr(adapt_cfg)
+    if len(stages) > 1 and optimizer is not default_adam(base):
+        raise ValueError(
+            "per-stage lr lists rescale updates by lr_i/base, which is only "
+            "exact relative to the default Adam's base lr — pass "
+            "optimizer=None (or adapt.online.default_adam(first_lr(cfg))) "
+            "when AdaptConfig.lr is a tuple"
+        )
 
     def adapt(variables, opt_state, key, rgb_in, sigma, y_p, phi_p, y_f, phi_f):
         if prior.adapt_noise_std > 0:
@@ -251,9 +271,9 @@ def make_adapt_fn(
                 if grad_axis is not None:
                     grads = jax.lax.pmean(grads, grad_axis)
                 updates, opt_state = optimizer.update(grads, opt_state, trainable)
-                if lr_i != lr0:
+                if lr_i != base:
                     updates = jax.tree_util.tree_map(
-                        lambda u: u * (lr_i / lr0), updates
+                        lambda u: u * (lr_i / base), updates
                     )
                 trainable = optax.apply_updates(trainable, updates)
         return {"params": trainable, **frozen}, opt_state, key

@@ -139,7 +139,7 @@ def _cmd_reconstruct(args) -> None:
     )
 
     config = None
-    if args.adapt_fresh_opt or args.adapt_lr or args.adapt_update_per_iter \
+    if args.adapt_carried_opt or args.adapt_lr or args.adapt_update_per_iter \
             or args.trainable_filter:
         # override the per-scene table's adaptation fields
         import dataclasses
@@ -156,8 +156,8 @@ def _cmd_reconstruct(args) -> None:
                 "has no adaptation (did you pass --no-update?)"
             )
         over = {}
-        if args.adapt_fresh_opt:
-            over["fresh_opt_per_trigger"] = True
+        if args.adapt_carried_opt:
+            over["fresh_opt_per_trigger"] = False
         if args.adapt_lr:
             lrs = tuple(float(v) for v in args.adapt_lr.split(","))
             over["lr"] = lrs[0] if len(lrs) == 1 else lrs
@@ -387,10 +387,12 @@ def main(argv=None) -> None:
     r.add_argument("--dm-fresh-opt", action="store_true",
                    help="fresh Adam per dm update step (the reference's "
                         "DDnet_test.py:278-281 optimizer semantics)")
-    r.add_argument("--adapt-fresh-opt", action="store_true",
-                   help="fresh Adam per adaptation trigger/stage (the "
-                        "reference's test_ffdnet_ipol.py:250-251 semantics) "
-                        "instead of carrying Adam state through the scan")
+    r.add_argument("--adapt-carried-opt", action="store_true",
+                   help="carry ONE Adam state through the scan and across "
+                        "measurements (this framework's extension; "
+                        "measured vs fresh mode in AB_RESULTS.md). Default "
+                        "is the reference's fresh-Adam-per-trigger/stage "
+                        "semantics (test_ffdnet_ipol.py:250-251)")
     r.add_argument("--adapt-lr", default=None,
                    help="override adaptation lr; comma-separated for the "
                         "reference's per-stage lr lists "

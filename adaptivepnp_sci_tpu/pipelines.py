@@ -185,7 +185,8 @@ def run_reconstruction(
         from adaptivepnp_sci_tpu.adapt.ddnet_online import make_dm_adapt_fn
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
-        dm_adapt = make_dm_adapt_fn(dm_model, dm_lr, dm_update_per_iter)
+        dm_adapt = make_dm_adapt_fn(dm_model, dm_lr, dm_update_per_iter,
+                                    fresh_opt=dm_fresh_opt)
         dm_opt = dm_adapt.init_opt(dm_variables)
     outs, rgbs, psnrs, ssims, traces, times = [], [], [], [], [], []
     for t in range(scene.n_meas):
@@ -202,10 +203,10 @@ def run_reconstruction(
         if dm_adapt is not None:
             from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
-            est = x0 if x0 is not None else scene.meas[t][None].repeat(
-                scene.n_frames, 0) / max(scene.n_frames / 2, 1)
+            # x0 is always set (warm start computed inline above when no
+            # warm-start file is given)
             dm_variables, dm_opt, dm_loss = dm_adapt(
-                dm_variables, dm_opt, jnp.asarray(est, jnp.float32)
+                dm_variables, dm_opt, jnp.asarray(x0, jnp.float32)
             )
             demosaic_fn = ddnet_demosaic(dm_model, dm_variables)
             log.info("dm adaptation loss %.6f", float(dm_loss))

@@ -36,6 +36,7 @@ from jax import Array
 
 from adaptivepnp_sci_tpu.adapt.online import (
     AdaptConfig,
+    default_adam,
     first_lr,
     make_adapt_fn,
     make_schedule,
@@ -136,12 +137,11 @@ def make_dm_spec(model, lr: float = 1e-6, update_per_iter: int = 1,
                   update_per_iter, fresh_opt)
 
 
-@functools.lru_cache(maxsize=16)
-def _default_adam(lr: float) -> optax.GradientTransformation:
-    """Stable identity for the default adaptation optimizer: a fresh optax
-    object per call would miss the runner cache and recompile every
-    measurement."""
-    return optax.adam(lr)
+# Stable identity for the default adaptation optimizer (one object per lr):
+# a fresh optax object per call would miss the runner cache and recompile
+# every measurement, and make_adapt_fn checks this identity before applying
+# per-stage lr rescaling.
+_default_adam = default_adam
 
 
 @functools.lru_cache(maxsize=32)

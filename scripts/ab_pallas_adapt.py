@@ -68,9 +68,6 @@ def main(out_path: str = "AB_RESULTS.md") -> None:
               "| config | s/run (XLA) | s/run (Pallas) | PSNR XLA | PSNR Pallas |",
               "|---|---|---|---|---|"]
 
-    for pallas in (False, True):
-        pass  # table built per-config below
-
     def row_gaptv():
         out = []
         for up in (False, True):
@@ -80,7 +77,7 @@ def main(out_path: str = "AB_RESULTS.md") -> None:
             out.append((t, float(r.psnr_per_frame.mean())))
         return out
 
-    def row_admm(cfg_base, label, adapt=None):
+    def row_admm(cfg_base):
         out = []
         for up in (False, True):
             cfg = dataclasses.replace(cfg_base, use_pallas=up)
@@ -98,7 +95,7 @@ def main(out_path: str = "AB_RESULTS.md") -> None:
 
     cfg2 = ADMMConfig(sigma=(25 / 255, 12 / 255, 6 / 255), iters=(15, 6, 4),
                       denoiser="ffdnet")
-    (t0, p0), (t1, p1) = row_admm(cfg2, "2")
+    (t0, p0), (t1, p1) = row_admm(cfg2)
     lines.append(f"| 2. ADMM+FFDNet fixed | {t0:.3f} | {t1:.3f} | {p0:.2f} | {p1:.2f} |")
 
     cfg4 = ADMMConfig(
@@ -106,7 +103,7 @@ def main(out_path: str = "AB_RESULTS.md") -> None:
         adapt=AdaptConfig(lr=2e-6, update_per_iter=2, interval_iter=15,
                           initial_iter=1),
     )
-    (t0, p0), (t1, p1) = row_admm(cfg4, "4")
+    (t0, p0), (t1, p1) = row_admm(cfg4)
     lines.append(f"| 4. flagship adaptive | {t0:.3f} | {t1:.3f} | {p0:.2f} | {p1:.2f} |")
 
     # ---------------- B. carried vs fresh Adam ----------------

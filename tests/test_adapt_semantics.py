@@ -18,6 +18,7 @@ import pytest
 
 from adaptivepnp_sci_tpu.adapt.online import (
     AdaptConfig,
+    default_adam,
     first_lr,
     make_adapt_fn,
     resolve_stages,
@@ -78,8 +79,44 @@ def test_resolve_stages_broadcast_and_errors():
         AdaptConfig(lr=1e-3, update_per_iter=(3, 1))
     ) == ((1e-3, 3), (1e-3, 1))
     assert first_lr(AdaptConfig(lr=(5e-7, 2e-7))) == 5e-7
+    # a zero stage-0 lr must not become the rescale base (0/0): base is the
+    # first NONZERO lr; all-zero schedules fall back to 1.0 (updates all
+    # rescale to zero anyway)
+    assert first_lr(AdaptConfig(lr=(0.0, 1e-4))) == 1e-4
+    assert first_lr(AdaptConfig(lr=(0.0, 0.0))) == 1.0
     with pytest.raises(ValueError, match="broadcast"):
         resolve_stages(AdaptConfig(lr=(1e-3, 1e-4), update_per_iter=(1, 2, 3)))
+
+
+def test_stage_lists_reject_non_default_optimizer(setup):
+    """Per-stage lr rescaling (lr_i/base) is only exact relative to the
+    default Adam's base lr — a custom optimizer must be rejected, not
+    silently mis-scaled."""
+    model, variables, args = setup
+    cfg = AdaptConfig(lr=(1e-3, 1e-4), update_per_iter=1)
+    with pytest.raises(ValueError, match="default Adam"):
+        make_adapt_fn(ffdnet_prior(model), optax.adam(1e-3), cfg)
+
+
+def test_zero_lr_first_stage_is_noop_stage(setup):
+    """lr=(0, x): stage 0 must be an exact no-op (updates rescaled to 0),
+    stage 1 a real Adam(x) stage — the previous lr_i/lr_0 rescale divided
+    by zero here."""
+    model, variables, args = setup
+    prior = ffdnet_prior(model)
+    cfg = AdaptConfig(lr=(0.0, 1e-3), update_per_iter=(2, 1),
+                      fresh_opt_per_trigger=True)
+    opt = default_adam(first_lr(cfg))
+    fn = make_adapt_fn(prior, opt, cfg)
+    got, _, _ = _call(fn, variables, opt.init(variables["params"]), args)
+
+    cfg_one = AdaptConfig(lr=1e-3, update_per_iter=1,
+                          fresh_opt_per_trigger=True)
+    fn_one = make_adapt_fn(prior, default_adam(first_lr(cfg_one)), cfg_one)
+    want, _, _ = _call(fn_one, variables,
+                       default_adam(1e-3).init(variables["params"]), args)
+    for a, b in zip(_leaves(got), _leaves(want)):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_fresh_opt_ignores_incoming_state(setup):
@@ -124,7 +161,7 @@ def test_stage_lists_match_manual_per_stage_adam(setup):
     cfg = AdaptConfig(
         lr=(1e-3, 2e-4), update_per_iter=(2, 1), fresh_opt_per_trigger=True
     )
-    opt = optax.adam(first_lr(cfg))
+    opt = default_adam(first_lr(cfg))
     fn = make_adapt_fn(prior, opt, cfg)
     got, _, _ = _call(fn, variables, opt.init(variables["params"]), args)
 

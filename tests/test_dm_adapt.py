@@ -32,6 +32,36 @@ def test_dm_adapt_reduces_consistency_loss():
     assert after < before
 
 
+def test_dm_adapt_fresh_opt_ignores_incoming_state():
+    """fresh_opt=True (reference DDnet_test.py:278-281: new Adam inside every
+    step) must give identical weights from a pristine vs momentum-laden
+    optimizer state; the default carried mode must not."""
+    model, variables = _tiny_ddnet()
+    scene = make_scene(b=8, h=16, w=16, seed=22)
+    frames = jnp.asarray(scene.orig_bayer)
+
+    adapt_f = make_dm_adapt_fn(model, lr=1e-3, update_per_iter=2,
+                               fresh_opt=True)
+    clean = adapt_f.init_opt(variables)
+    # fabricate a dirty state by running two carried updates
+    adapt_c = make_dm_adapt_fn(model, lr=1e-3, update_per_iter=2)
+    _, dirty, _ = adapt_c(variables, clean, frames)
+
+    v1, _, _ = adapt_f(variables, clean, frames)
+    v2, _, _ = adapt_f(variables, dirty, frames)
+    for a, b in zip(jax.tree_util.tree_leaves(v1),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    v3, _, _ = adapt_c(variables, clean, frames)
+    v4, _, _ = adapt_c(variables, dirty, frames)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(v3),
+                        jax.tree_util.tree_leaves(v4))
+    )
+
+
 def test_in_scan_dm_update_changes_trajectory():
     """Interleaved (in-scan) dm adaptation must produce a different solver
     trajectory than fixed-weight DDnet demosaicking AND than pipeline-level
