@@ -311,8 +311,9 @@ def _cmd_synth(args) -> None:
     from adaptivepnp_sci_tpu.data.synthetic import make_scene
     import scipy.io as sio
 
+    style = args.style or ("textured" if args.textured else "smooth")
     s = make_scene(b=args.frames, h=args.size, w=args.size, seed=args.seed,
-                   n_meas=args.n_meas, textured=args.textured)
+                   n_meas=args.n_meas, style=style)
     meas = s.meas if s.meas.ndim == 3 else s.meas[..., None]
     orig = s.orig_bayer if s.orig_bayer.ndim == 4 else s.orig_bayer[None]
     t, b, h, w = orig.shape
@@ -439,6 +440,10 @@ def main(argv=None) -> None:
     s.add_argument("--out", required=True)
     s.add_argument("--textured", action="store_true",
                    help="overlay drifting gratings/rectangles (harder scene)")
+    s.add_argument("--style", choices=["smooth", "textured", "leaves"],
+                   default=None,
+                   help="scene statistics; 'leaves' = dead-leaves occlusion "
+                        "model (natural-image statistics with motion)")
     s.add_argument("--size", type=int, default=512)
     s.add_argument("--frames", type=int, default=8)
     s.add_argument("--n-meas", type=int, default=1)

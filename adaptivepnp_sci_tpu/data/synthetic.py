@@ -88,6 +88,43 @@ def _texture_video(length: int, h: int, rng: np.random.Generator,
     return out
 
 
+def _dead_leaves_video(b: int, h: int, w: int,
+                       rng: np.random.Generator) -> np.ndarray:
+    """Dead-leaves model with motion: occluding disks whose radii follow the
+    scale-invariant ``p(r) ~ r^-3`` law (Matheron/Lee-Mumford-Huang — the
+    standard generative model reproducing natural-image statistics: occlusion
+    edges at all scales, heavy-tailed gradients, ~1/f^2 power spectra). Each
+    disk drifts with its own velocity, giving the video real motion parallax
+    for the temporal priors. Painted back-to-front; later disks occlude."""
+    rmin, rmax = max(2.0, h / 170), h / 4
+    n_disks = 400
+    u = rng.random(n_disks)
+    # inverse-CDF of p(r) ~ r^-3 truncated to [rmin, rmax]
+    radii = rmin / np.sqrt(1.0 - u * (1.0 - (rmin / rmax) ** 2))
+    centers = rng.random((n_disks, 2)) * [h, w]
+    vels = rng.uniform(-3.0, 3.0, (n_disks, 2)) * (h / 512.0)
+    # natural-ish colors: shared luminance + moderate chroma
+    lum = rng.uniform(0.15, 0.85, n_disks)
+    colors = np.clip(
+        lum[:, None] + rng.uniform(-0.25, 0.25, (n_disks, 3)), 0.0, 1.0
+    ).astype(np.float32)
+
+    video = np.full((b, h, w, 3), 0.5, np.float32)
+    for t in range(b):
+        for i in range(n_disks):  # back-to-front: disk i+1 occludes disk i
+            cy, cx = centers[i] + t * vels[i]
+            r = radii[i]
+            y0, y1 = int(max(cy - r, 0)), int(min(cy + r + 1, h))
+            x0, x1 = int(max(cx - r, 0)), int(min(cx + r + 1, w))
+            if y0 >= y1 or x0 >= x1:
+                continue
+            yy = np.arange(y0, y1, dtype=np.float32)[:, None] - cy
+            xx = np.arange(x0, x1, dtype=np.float32)[None, :] - cx
+            inside = yy * yy + xx * xx <= r * r
+            video[t, y0:y1, x0:x1][inside] = colors[i]
+    return video
+
+
 def make_scene(
     b: int = 8,
     h: int = 512,
@@ -95,14 +132,26 @@ def make_scene(
     seed: int = 42,
     n_meas: int = 1,
     textured: bool = False,
+    style: str | None = None,
 ) -> Scene:
     """Synthesize ``n_meas`` CACTI snapshots of a B-frame RGB video.
 
-    ``textured=True`` overlays drifting oriented gratings and hard-edged
-    rectangles on the smooth blob scene — a harder regime (high-frequency
-    content the priors must preserve) that lands in realistic dB ranges,
-    closer to the reference's real mid-scale scenes than the smooth default.
+    ``style`` selects the scene statistics:
+
+    * ``'smooth'`` (default) — drifting gaussian blobs + gradients; an easy
+      regime the priors exploit fully (~50 dB).
+    * ``'textured'`` (= legacy ``textured=True``) — adds drifting oriented
+      gratings and hard-edged rectangles; high-frequency content the priors
+      must preserve (realistic ~35 dB regime).
+    * ``'leaves'`` — dead-leaves occlusion model with per-disk motion;
+      natural-image statistics (scale-invariant edges, heavy-tailed
+      gradients), the closest stand-in for real captures available without
+      shipping data.
     """
+    if style is None:
+        style = "textured" if textured else "smooth"
+    if style not in ("smooth", "textured", "leaves"):
+        raise ValueError(f"unknown scene style {style!r}")
     rng = np.random.default_rng(seed)
     mask = (rng.random((b, h, w)) > 0.5).astype(np.float32)
 
@@ -112,8 +161,11 @@ def make_scene(
 
     metas, origs_b, origs_rgb = [], [], []
     for i in range(n_meas):
-        rgb = _smooth_video(b, h, w, rng)
-        if textured:
+        if style == "leaves":
+            rgb = _dead_leaves_video(b, h, w, rng)
+        else:
+            rgb = _smooth_video(b, h, w, rng)
+        if style == "textured":
             rgb = np.clip(rgb + _texture_video(b, h, rng, w), 0.0, 1.0)
         bayer = (rgb * cfa).sum(-1)  # (B, H, W)
         metas.append((bayer * mask).sum(0))  # (H, W)

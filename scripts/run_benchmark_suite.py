@@ -164,6 +164,20 @@ def main(out_path: str = "RESULTS.md") -> None:
     rows.append(("4b. flagship on hard textured scene", t,
                  float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
 
+    # 4c. dead-leaves scene: natural-image statistics (scale-invariant
+    # occlusion edges, heavy-tailed gradients) — the closest stand-in for
+    # real mid-scale captures available without shipping data
+    scene_nat = make_scene(b=b, h=h, w=w, seed=42, style="leaves")
+    yn = jax.device_put(jnp.asarray(scene_nat.meas))
+    orign = jax.device_put(jnp.asarray(scene_nat.orig_bayer))
+    f4c = lambda: (reconstruct_single_dispatch(  # noqa: E731
+        yn, phi, wcfg, cfg4, prior, variables, orig=orign).x_bayer,)
+    t, _ = timed(f4c)
+    r = reconstruct_single_dispatch(yn, phi, wcfg, cfg4, prior, variables,
+                                    orig=orign)
+    rows.append(("4c. flagship on dead-leaves (natural-statistics) scene", t,
+                 float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
+
     # 5. DDnet joint demosaicking (regenerated weights if present) + batched
     dd_path = "weights/ddnet.npz"
     if os.path.exists(dd_path):

@@ -74,3 +74,27 @@ def test_solver_menon_demosaic_option():
     res = two_stage_admm(scene.meas, scene.mask, cfg,
                          prior=ffdnet_prior(model), variables=variables)
     assert np.isfinite(np.asarray(res.x_rgb)).all()
+
+
+def test_dead_leaves_scene_statistics():
+    """style='leaves' must produce natural-image statistics: heavy-tailed
+    gradients (kurtosis far above the Gaussian 3), genuine inter-frame
+    motion, a consistent measurement (meas == sum(mask * mosaic(orig))),
+    and determinism per seed."""
+    import numpy as np
+
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+
+    sc = make_scene(b=4, h=64, w=64, seed=3, style="leaves")
+    assert sc.orig_rgb.min() >= 0.0 and sc.orig_rgb.max() <= 1.0
+    g = np.diff(sc.orig_rgb[0, ..., 0], axis=0).ravel()
+    kurt = ((g - g.mean()) ** 4).mean() / (g.var() ** 2)
+    assert kurt > 10.0, kurt
+    assert np.abs(sc.orig_rgb[1] - sc.orig_rgb[0]).mean() > 1e-3
+    want = (sc.orig_bayer * sc.mask).sum(0)
+    np.testing.assert_allclose(sc.meas, want, atol=1e-6)
+    sc2 = make_scene(b=4, h=64, w=64, seed=3, style="leaves")
+    np.testing.assert_array_equal(sc.orig_rgb, sc2.orig_rgb)
+
+    with np.testing.assert_raises(ValueError):
+        make_scene(b=2, h=16, w=16, style="nope")
