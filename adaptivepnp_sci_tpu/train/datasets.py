@@ -64,13 +64,22 @@ def temporal_chunks(video: np.ndarray, length: int = 5, stride: int = 3) -> np.n
 def synthetic_video_dataset(
     n_clips: int, length: int = 5, size: int = 96, seed: int = 0,
     textured: bool = False, source_sizes: tuple[int, ...] | None = None,
-    crops_per_video: int = 8,
+    crops_per_video: int = 8, styles: tuple[str, ...] | None = None,
 ) -> np.ndarray:
     """Procedural video clips ``(n, length, size, size, 3)`` in [0,1].
 
     ``textured=True`` mixes in structured content (oriented gratings, edges,
     rectangles) drifting over time — smooth blobs alone teach a denoiser
     nothing about preserving high-frequency detail.
+
+    ``styles``: when given, each source video's scene family is drawn
+    uniformly from this tuple — ``'smooth'`` (drifting blobs), ``'textured'``
+    (blobs + gratings/rectangles), ``'leaves'`` (dead-leaves occlusion model,
+    natural-image statistics; see ``data/synthetic.make_scene``). Supersedes
+    the legacy ``textured`` flag. A denoiser trained only on smooth blobs
+    does not generalize to natural statistics (RESULTS.md dead-leaves row);
+    mixing ``'leaves'`` into the pool is the procedural stand-in for the
+    reference's DAVIS natural-video training.
 
     ``source_sizes``: when given, each clip is a random ``size``-square crop
     of a LARGER generated video whose side is drawn from this tuple (the
@@ -83,26 +92,48 @@ def synthetic_video_dataset(
     ``crops_per_video`` crops share one generated source video (amortizes
     the generation cost).
     """
-    from adaptivepnp_sci_tpu.data.synthetic import _smooth_video, _texture_video
+    from adaptivepnp_sci_tpu.data.synthetic import (
+        _dead_leaves_video,
+        _smooth_video,
+        _texture_video,
+    )
 
     rng = np.random.default_rng(seed)
+
+    def generate(s: int) -> np.ndarray:
+        if styles:
+            style = styles[int(rng.integers(len(styles)))]
+        else:
+            # legacy flag: smooth, with textured content on a coin flip
+            style = "textured" if textured and rng.random() < 0.5 else "smooth"
+        if style == "leaves":
+            return _dead_leaves_video(length, s, s, rng)
+        video = _smooth_video(length, s, s, rng)
+        if style == "textured":
+            video = np.clip(video + _texture_video(length, s, rng), 0, 1)
+        elif style != "smooth":
+            raise ValueError(f"unknown clip style {style!r}")
+        return video
+
     clips = []
     if source_sizes:
         while len(clips) < n_clips:
             s = int(rng.choice(source_sizes))
-            video = _smooth_video(length, s, s, rng)
-            if textured and rng.random() < 0.5:
-                video = np.clip(video + _texture_video(length, s, rng), 0, 1)
+            video = generate(s)
             for _ in range(min(crops_per_video, n_clips - len(clips))):
                 y0 = int(rng.integers(0, s - size + 1))
                 x0 = int(rng.integers(0, s - size + 1))
                 clips.append(video[:, y0 : y0 + size, x0 : x0 + size])
         return np.stack(clips)
     for i in range(n_clips):
-        clip = _smooth_video(length, size, size, rng)
-        if textured and i % 2 == 0:
-            clip = np.clip(clip + _texture_video(length, size, rng), 0, 1)
-        clips.append(clip)
+        if styles:
+            clips.append(generate(size))
+        else:
+            # legacy direct-generation path: textured on even indices
+            clip = _smooth_video(length, size, size, rng)
+            if textured and i % 2 == 0:
+                clip = np.clip(clip + _texture_video(length, size, rng), 0, 1)
+            clips.append(clip)
     return np.stack(clips)
 
 

@@ -50,6 +50,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpts", nargs="+")
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--style", default="smooth",
+                    help="scene statistics for the eval scene "
+                         "(smooth|textured|leaves)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default backend instead of forcing CPU")
     args = ap.parse_args()
@@ -76,7 +79,8 @@ def main() -> None:
 
     model = FastDVDnet()
     prior = fastdvd_prior(model)
-    scene = make_scene(b=8, h=args.size, w=args.size, seed=42)
+    scene = make_scene(b=8, h=args.size, w=args.size, seed=42,
+                       style=args.style)
     y, phi = jnp.asarray(scene.meas), jnp.asarray(scene.mask)
     orig = jnp.asarray(scene.orig_bayer)
     warm = gap_tv(y, phi, GapTVConfig(iters=40))
@@ -99,7 +103,8 @@ def main() -> None:
         inloop = float(r.psnr_per_frame.mean())
         smax = sigma_max_eval(model, v, clips, key)
         print(f"{path}: standalone={standalone:.2f} dB  "
-              f"in-loop@{args.size}={inloop:.2f} dB  sigma_max={smax:.3f}")
+              f"in-loop@{args.size}/{args.style}={inloop:.2f} dB  "
+              f"sigma_max={smax:.3f}")
 
 
 if __name__ == "__main__":

@@ -7,7 +7,10 @@ synthetic benchmark scenes — weights are distribution-matched to the
 benchmarks here and functional stand-ins elsewhere; the converters accept
 upstream checkpoints whenever real ones are available.
 
-Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters] [n_clips] [clip_size]
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters] [n_clips] [clip_size] [styles]
+``styles`` is a comma-separated scene-family mix (e.g. ``smooth,leaves``)
+forwarded to ``synthetic_video_dataset`` — mixing ``leaves`` (dead-leaves
+natural statistics) is the procedural stand-in for DAVIS training.
 Saves orbax checkpoints under weights/<name>/final.
 """
 
@@ -29,7 +32,7 @@ def main(network: str, steps: int, textured: bool = False,
          lipschitz: float = 0.0, spectral: float = 0.0,
          out_dir: str | None = None, spectral_target: float = 1.0,
          spectral_iters: int = 2, n_clips: int = 0,
-         clip_size: int = 64) -> None:
+         clip_size: int = 64, styles: tuple[str, ...] | None = None) -> None:
     # Data stays device-resident: per-step batch gathers run on-chip instead
     # of re-uploading ~8MB over the (possibly remote) host link every step.
     # NOTE: defaults reproduce the shipped weights. Textured data / longer
@@ -48,7 +51,8 @@ def main(network: str, steps: int, textured: bool = False,
     src = (256, 512) if n_clips else None
     clips = jax.device_put(jnp.asarray(
         synthetic_video_dataset(n, length=5, size=clip_size, seed=123,
-                                textured=textured, source_sizes=src)
+                                textured=textured, source_sizes=src,
+                                styles=styles)
     ))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
@@ -98,4 +102,5 @@ if __name__ == "__main__":
         spectral_iters=int(sys.argv[8]) if len(sys.argv) > 8 else 2,
         n_clips=int(sys.argv[9]) if len(sys.argv) > 9 else 0,
         clip_size=int(sys.argv[10]) if len(sys.argv) > 10 else 64,
+        styles=tuple(sys.argv[11].split(",")) if len(sys.argv) > 11 else None,
     )

@@ -178,6 +178,22 @@ def main(out_path: str = "RESULTS.md") -> None:
     rows.append(("4c. flagship on dead-leaves (natural-statistics) scene", t,
                  float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
 
+    # 4d. extension beyond the reference tables: on natural statistics the
+    # stage-boundary trigger at ~10x the reference lr buys +0.4 dB
+    # (RESULTS.md adaptation sweep); same program, different constants
+    import dataclasses
+
+    cfg4d = dataclasses.replace(
+        cfg4, adapt=AdaptConfig(lr=2e-5, update_per_iter=2, interval_iter=15,
+                                initial_iter=1))
+    f4d = lambda: (reconstruct_single_dispatch(  # noqa: E731
+        yn, phi, wcfg, cfg4d, prior, variables, orig=orign).x_bayer,)
+    t, _ = timed(f4d)
+    r = reconstruct_single_dispatch(yn, phi, wcfg, cfg4d, prior, variables,
+                                    orig=orign)
+    rows.append(("4d. + tuned adaptation lr 2e-5 [extension]", t,
+                 float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
+
     # 5. DDnet joint demosaicking (regenerated weights if present) + batched
     dd_path = "weights/ddnet.npz"
     if os.path.exists(dd_path):

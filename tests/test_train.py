@@ -219,6 +219,33 @@ def test_synthetic_dataset_crops_from_large_sources():
     assert tv_crop < tv_direct
 
 
+def test_synthetic_dataset_style_mix():
+    mix = synthetic_video_dataset(16, length=3, size=32,
+                                  source_sizes=(64, 128), seed=5,
+                                  styles=("smooth", "leaves"))
+    assert mix.shape == (16, 3, 32, 32, 3)
+    assert mix.min() >= 0.0 and mix.max() <= 1.0
+    again = synthetic_video_dataset(16, length=3, size=32,
+                                    source_sizes=(64, 128), seed=5,
+                                    styles=("smooth", "leaves"))
+    np.testing.assert_array_equal(mix, again)  # deterministic in seed
+    # dead-leaves occlusion edges -> heavier-tailed gradients than smooth blobs
+    smooth = synthetic_video_dataset(16, length=3, size=32,
+                                     source_sizes=(64, 128), seed=5)
+
+    def kurtosis(x):
+        g = np.diff(x[..., 0], axis=-1).ravel()
+        return float(((g - g.mean()) ** 4).mean() / (g.var() ** 2 + 1e-12))
+
+    assert kurtosis(mix) > 2 * kurtosis(smooth)
+    # styles also works on the direct (no source crop) path
+    direct = synthetic_video_dataset(4, length=3, size=32, seed=5,
+                                     styles=("leaves",))
+    assert direct.shape == (4, 3, 32, 32, 3)
+    with np.testing.assert_raises(ValueError):
+        synthetic_video_dataset(2, length=3, size=16, styles=("nope",))
+
+
 def test_normalize_augment_reference_semantics():
     from adaptivepnp_sci_tpu.train.augment import normalize_augment
 
