@@ -10,6 +10,7 @@ collapsed into one snapshot per group of B frames.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -125,6 +126,52 @@ def _dead_leaves_video(b: int, h: int, w: int,
     return video
 
 
+def _photo_video(b: int, h: int, w: int, rng: np.random.Generator) -> np.ndarray:
+    """Real-photograph video: global subpixel camera pan over a real photo.
+
+    Uses matplotlib's bundled ``grace_hopper.jpg`` portrait — the only real
+    photograph shipped in this environment (zero egress, no dataset files).
+    Unlike the procedural families this carries true photographic statistics:
+    sensor texture, JPEG residue, real edges/shading. Motion is a smooth
+    global pan with per-frame subpixel displacement (bilinear resampling),
+    the camera-motion analogue of the reference's DAVIS scenes.
+    """
+    import matplotlib
+    from PIL import Image
+    from scipy.ndimage import map_coordinates, zoom
+
+    path = os.path.join(
+        matplotlib.get_data_path(), "sample_data", "grace_hopper.jpg"
+    )
+    img = np.asarray(Image.open(path), np.float32) / 255.0  # (600, 512, 3)
+
+    # per-frame pan velocity (px/frame) + margin for the travel
+    vy = float(rng.uniform(1.0, 3.0)) * (1 if rng.random() < 0.5 else -1)
+    vx = float(rng.uniform(0.2, 1.0)) * (1 if rng.random() < 0.5 else -1)
+    need_h = h + abs(vy) * (b - 1) + 2
+    need_w = w + abs(vx) * (b - 1) + 2
+    s = max(need_h / img.shape[0], need_w / img.shape[1], 1.0)
+    if s > 1.0:
+        img = np.stack(
+            [zoom(img[..., c], s, order=1) for c in range(3)], axis=-1
+        )
+    y_slack = img.shape[0] - h - abs(vy) * (b - 1) - 1
+    x_slack = img.shape[1] - w - abs(vx) * (b - 1) - 1
+    y0 = float(rng.uniform(0, max(y_slack, 0))) + (abs(vy) * (b - 1) if vy < 0 else 0)
+    x0 = float(rng.uniform(0, max(x_slack, 0))) + (abs(vx) * (b - 1) if vx < 0 else 0)
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    video = np.empty((b, h, w, 3), np.float32)
+    for t in range(b):
+        cy, cx = y0 + vy * t, x0 + vx * t
+        coords = np.stack([yy + cy, xx + cx])
+        for c in range(3):
+            video[t, ..., c] = map_coordinates(
+                img[..., c], coords, order=1, mode="reflect"
+            )
+    return np.clip(video, 0.0, 1.0)
+
+
 def make_scene(
     b: int = 8,
     h: int = 512,
@@ -147,10 +194,13 @@ def make_scene(
       natural-image statistics (scale-invariant edges, heavy-tailed
       gradients), the closest stand-in for real captures available without
       shipping data.
+    * ``'photo'`` — a REAL photograph (matplotlib's bundled
+      ``grace_hopper.jpg``) under smooth global camera pan: true
+      photographic statistics through the full acquisition model.
     """
     if style is None:
         style = "textured" if textured else "smooth"
-    if style not in ("smooth", "textured", "leaves"):
+    if style not in ("smooth", "textured", "leaves", "photo"):
         raise ValueError(f"unknown scene style {style!r}")
     rng = np.random.default_rng(seed)
     mask = (rng.random((b, h, w)) > 0.5).astype(np.float32)
@@ -163,6 +213,8 @@ def make_scene(
     for i in range(n_meas):
         if style == "leaves":
             rgb = _dead_leaves_video(b, h, w, rng)
+        elif style == "photo":
+            rgb = _photo_video(b, h, w, rng)
         else:
             rgb = _smooth_video(b, h, w, rng)
         if style == "textured":

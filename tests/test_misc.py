@@ -98,3 +98,29 @@ def test_dead_leaves_scene_statistics():
 
     with np.testing.assert_raises(ValueError):
         make_scene(b=2, h=16, w=16, style="nope")
+
+
+def test_photo_scene_real_statistics():
+    """style='photo' pans over a real photograph: genuine inter-frame
+    motion, consistent measurement, determinism, and sizes beyond the
+    source image (upscale path)."""
+    import numpy as np
+
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+
+    sc = make_scene(b=4, h=64, w=64, seed=3, style="photo")
+    assert sc.orig_rgb.shape == (4, 64, 64, 3)
+    assert sc.orig_rgb.min() >= 0.0 and sc.orig_rgb.max() <= 1.0
+    # global pan: successive frames differ, but only by a small shift —
+    # the mean absolute frame difference is well below the frame's own
+    # spatial contrast
+    d = np.abs(sc.orig_rgb[1] - sc.orig_rgb[0]).mean()
+    assert 1e-4 < d < np.abs(np.diff(sc.orig_rgb[0], axis=0)).mean() * 5
+    want = (sc.orig_bayer * sc.mask).sum(0)
+    np.testing.assert_allclose(sc.meas, want, atol=1e-6)
+    sc2 = make_scene(b=4, h=64, w=64, seed=3, style="photo")
+    np.testing.assert_array_equal(sc.orig_rgb, sc2.orig_rgb)
+    # larger than the 600x512 source: zoom path keeps the range valid
+    big = make_scene(b=2, h=640, w=640, seed=1, style="photo")
+    assert big.orig_rgb.shape == (2, 640, 640, 3)
+    assert big.orig_rgb.min() >= 0.0 and big.orig_rgb.max() <= 1.0
