@@ -39,6 +39,78 @@ def _cmd_warmstart(args) -> None:
     print(f"warm start PSNR {out.psnr.mean():.2f} dB -> {args.out}")
 
 
+def _load_weights(path, torch_loader, init_fn, defaults=(), random_init=False):
+    """Accept reference .pth (converted) or our .npz / orbax checkpoints.
+    Without an explicit path, fall back to the first existing default
+    checkpoint; random init ONLY with ``random_init`` (a random denoiser
+    reconstructs garbage — never a silent fallback)."""
+    import os
+
+    if not path:
+        if random_init:
+            return init_fn()
+        path = next((d for d in defaults if os.path.exists(d)), None)
+        if path is None:
+            raise SystemExit(
+                "error: no --ckpt given and no default checkpoint found "
+                f"(searched: {', '.join(defaults)}). Pass --ckpt, or "
+                "--random-init for an untrained-model smoke test."
+            )
+    if path.endswith(".pth"):
+        return torch_loader(path)
+    from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
+
+    return load_checkpoint_variables(path)
+
+
+def _build_denoiser(denoiser: str, ckpt: str | None,
+                    random_init: bool = False, bf16: bool = False):
+    """Construct ``(model, prior, variables)`` for a CLI run (shared by
+    ``reconstruct`` and ``serve``)."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    repo_weights = pathlib.Path(__file__).resolve().parent.parent / "weights"
+
+    if denoiser == "ffdnet":
+        from adaptivepnp_sci_tpu.models.convert import load_ffdnet
+        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+        from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+        model = ffdnet_color()
+        variables = _load_weights(
+            ckpt, load_ffdnet,
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                               jnp.float32(0.1)),
+            defaults=("/root/reference/model_zoo/ffdnet_color.pth",
+                      str(repo_weights / "ffdnet_color.pth")),
+            random_init=random_init,
+        )
+        prior = ffdnet_prior(model)
+    else:
+        from adaptivepnp_sci_tpu.models.convert import load_fastdvdnet
+        from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+        from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+
+        # bf16: conv/BN chains in bf16 with fp32 residuals (measured
+        # 1.5x faster at identical PSNR, scripts/bench_fastdvd_bf16.py);
+        # bf16 activations fit HBM un-remat'd, worth another ~5% in-loop
+        model = FastDVDnet(dtype=jnp.bfloat16 if bf16 else None,
+                           remat=not bf16)
+        variables = _load_weights(
+            ckpt, load_fastdvdnet,
+            lambda: model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 5, 64, 64, 3)), jnp.float32(0.1)),
+            defaults=(str(repo_weights / "fastdvd.npz"),),
+            random_init=random_init,
+        )
+        # shared-triplet sequence path (temp1 once per distinct triplet)
+        prior = fastdvd_prior(model)
+    return model, prior, variables
+
+
 def _cmd_reconstruct(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -53,64 +125,16 @@ def _cmd_reconstruct(args) -> None:
     scene = load_cacti_mat(args.data, name=args.name)
 
     def load_weights(path, torch_loader, init_fn, defaults=()):
-        """Accept reference .pth (converted) or our .npz / orbax checkpoints.
-        Without an explicit path, fall back to the first existing default
-        checkpoint; random init ONLY with --random-init (a random denoiser
-        reconstructs garbage — never a silent fallback)."""
-        import os
-
-        if not path:
-            if args.random_init:
-                return init_fn()
-            path = next((d for d in defaults if os.path.exists(d)), None)
-            if path is None:
-                raise SystemExit(
-                    "error: no --ckpt given and no default checkpoint found "
-                    f"(searched: {', '.join(defaults)}). Pass --ckpt, or "
-                    "--random-init for an untrained-model smoke test."
-                )
-        if path.endswith(".pth"):
-            return torch_loader(path)
-        from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
-
-        return load_checkpoint_variables(path)
+        return _load_weights(path, torch_loader, init_fn, defaults,
+                             random_init=args.random_init)
 
     import pathlib
 
     repo_weights = pathlib.Path(__file__).resolve().parent.parent / "weights"
 
-    if args.denoiser == "ffdnet":
-        from adaptivepnp_sci_tpu.models.convert import load_ffdnet
-        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
-        from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
-
-        model = ffdnet_color()
-        variables = load_weights(
-            args.ckpt, load_ffdnet,
-            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
-                               jnp.float32(0.1)),
-            defaults=("/root/reference/model_zoo/ffdnet_color.pth",
-                      str(repo_weights / "ffdnet_color.pth")),
-        )
-        prior = ffdnet_prior(model)
-    else:
-        from adaptivepnp_sci_tpu.models.convert import load_fastdvdnet
-        from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
-        from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
-
-        # --bf16: conv/BN chains in bf16 with fp32 residuals (measured
-        # 1.5x faster at identical PSNR, scripts/bench_fastdvd_bf16.py);
-        # bf16 activations fit HBM un-remat'd, worth another ~5% in-loop
-        model = FastDVDnet(dtype=jnp.bfloat16 if args.bf16 else None,
-                           remat=not args.bf16)
-        variables = load_weights(
-            args.ckpt, load_fastdvdnet,
-            lambda: model.init(jax.random.PRNGKey(0),
-                               jnp.zeros((1, 5, 64, 64, 3)), jnp.float32(0.1)),
-            defaults=(str(repo_weights / "fastdvd.npz"),),
-        )
-        # shared-triplet sequence path (temp1 once per distinct triplet)
-        prior = fastdvd_prior(model)
+    _, prior, variables = _build_denoiser(
+        args.denoiser, args.ckpt, random_init=args.random_init, bf16=args.bf16
+    )
 
     if (args.dm_update or args.dm_in_scan) and not args.deep_demosaicking:
         raise SystemExit(
@@ -334,6 +358,81 @@ def _cmd_synth(args) -> None:
     print(f"synthetic scene -> {args.out}")
 
 
+def _cmd_serve(args) -> None:
+    """Reconstruction service: watch a directory for measurement ``.mat``
+    files, reconstruct each with the standing config, write results.
+
+    The serving story the script-driven reference lacks: one long-lived
+    process keeps the compiled solver program (and the XLA compile cache)
+    warm, so every same-shape measurement after the first runs at
+    steady-state speed — no per-file compile, no per-file model load.
+    ``--carry-weights`` additionally threads online-adapted denoiser
+    weights from one file to the next (the cross-file form of the
+    reference's ``reuse_model``).
+    """
+    import os
+    import time as _time
+
+    from adaptivepnp_sci_tpu.data.mat_io import load_cacti_mat, save_results
+    from adaptivepnp_sci_tpu.pipelines import run_reconstruction
+
+    _, prior, variables = _build_denoiser(
+        args.denoiser, args.ckpt, random_init=args.random_init, bf16=args.bf16
+    )
+    os.makedirs(args.out, exist_ok=True)
+    seen: set[str] = set()
+    sizes: dict[str, int] = {}
+    print(f"serving: watching {args.watch} -> {args.out} "
+          f"(denoiser={args.denoiser}, scene config={args.scene})", flush=True)
+    while True:
+        try:
+            names = sorted(
+                f for f in os.listdir(args.watch)
+                if f.endswith(".mat") and f not in seen
+            )
+        except FileNotFoundError:
+            raise SystemExit(f"error: watch directory {args.watch} not found")
+        ready = []
+        for f in names:
+            # only process files whose size is stable across two polls
+            # (writers may still be streaming the file)
+            path = os.path.join(args.watch, f)
+            sz = os.path.getsize(path)
+            if sizes.get(f) == sz:
+                ready.append(f)
+            sizes[f] = sz
+        for fname in ready:
+            path = os.path.join(args.watch, fname)
+            t0 = _time.perf_counter()
+            try:
+                scene = load_cacti_mat(path, name=args.scene)
+                out = run_reconstruction(
+                    scene, prior, variables,
+                    denoiser=args.denoiser,
+                    update=not args.no_update,
+                    reuse_model=True,
+                )
+            except Exception as e:  # noqa: BLE001 — a bad file must not
+                # kill the service; report and move on
+                print(f"serve: {fname} FAILED: {e}", flush=True)
+                seen.add(fname)
+                continue
+            if args.carry_weights and out.variables is not None:
+                variables = out.variables
+            dst = os.path.join(args.out, fname)
+            save_results(dst, out.x_bayer, out.x_rgb, out.psnr, out.ssim,
+                         out.psnr_all_iter)
+            seen.add(fname)
+            print(
+                f"serve: {fname} -> {dst}  PSNR {out.psnr.mean():.2f} dB  "
+                f"{_time.perf_counter() - t0:.2f}s", flush=True,
+            )
+        if args.once and not names:
+            break
+        if not ready:
+            _time.sleep(args.poll)
+
+
 def main(argv=None) -> None:
     # JAX_PLATFORMS may name a plugin backend that fails to register in this
     # process (e.g. remote-TPU plugins that are cwd-sensitive); fall back to
@@ -451,6 +550,32 @@ def main(argv=None) -> None:
     s.add_argument("--n-meas", type=int, default=1)
     s.add_argument("--seed", type=int, default=42)
     s.set_defaults(fn=_cmd_synth)
+
+    v = sub.add_parser(
+        "serve",
+        help="reconstruction service: watch a directory for .mat "
+             "measurements, reconstruct, write results (compiled programs "
+             "stay warm across files)",
+    )
+    v.add_argument("--watch", required=True, help="directory to poll for .mat files")
+    v.add_argument("--out", required=True, help="directory for result .mat files")
+    v.add_argument("--denoiser", choices=["ffdnet", "fastdvd"], default="ffdnet")
+    v.add_argument("--ckpt", default=None)
+    v.add_argument("--random-init", action="store_true")
+    v.add_argument("--bf16", action="store_true")
+    v.add_argument("--scene", default="Beauty",
+                   help="per-scene schedule table to serve with "
+                        "(configs/scenes.py; default Beauty = flagship)")
+    v.add_argument("--no-update", action="store_true",
+                   help="disable online adaptation")
+    v.add_argument("--carry-weights", action="store_true",
+                   help="thread adapted denoiser weights across files "
+                        "(cross-file reuse_model)")
+    v.add_argument("--poll", type=float, default=2.0,
+                   help="poll interval in seconds")
+    v.add_argument("--once", action="store_true",
+                   help="process the current backlog and exit")
+    v.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -50,6 +50,37 @@ def test_cli_warmstart_and_reconstruct(tmp_path, scene_mat, capsys):
     assert saved["psnr"].shape == (1, 4)
 
 
+def test_cli_serve_processes_backlog(tmp_path, capsys):
+    """`serve --once` must drain the watch directory: reconstruct every
+    stable .mat, write same-named results, and skip nothing. Unreadable
+    files must be reported, not kill the service."""
+    watch = tmp_path / "in"
+    outd = tmp_path / "out"
+    watch.mkdir()
+    main(["synth", "--out", str(watch / "a.mat"), "--size", "32",
+          "--frames", "4", "--seed", "1"])
+    main(["synth", "--out", str(watch / "b.mat"), "--size", "32",
+          "--frames", "4", "--seed", "2", "--style", "leaves"])
+    (watch / "bad.mat").write_bytes(b"not a mat file")
+
+    args = ["serve", "--watch", str(watch), "--out", str(outd),
+            "--denoiser", "ffdnet", "--once", "--poll", "0.1",
+            "--no-update", "--carry-weights"]
+    if os.path.exists(FFD_CKPT):
+        args += ["--ckpt", FFD_CKPT]
+    else:
+        args += ["--random-init"]
+    main(args)
+    out = capsys.readouterr().out
+    assert "a.mat" in out and "b.mat" in out
+    assert "bad.mat FAILED" in out
+    assert sorted(os.listdir(outd)) == ["a.mat", "b.mat"]
+    for f in ("a.mat", "b.mat"):
+        saved = sio.loadmat(str(outd / f))
+        assert saved["v_recon_bayer"].shape == (32, 32, 4)
+        assert np.isfinite(saved["v_recon_bayer"]).all()
+
+
 @pytest.mark.skipif(not os.path.exists(FFD_CKPT), reason="reference ckpt absent")
 def test_cli_reconstruct_resolves_default_ckpt_and_warm_start(
     tmp_path, scene_mat, capsys
