@@ -231,6 +231,21 @@ def main(out_path: str = "RESULTS.md") -> None:
         rows.append(("5a. FFDNet + DDnet joint demosaicking", t,
                      float(r.psnr_per_frame.mean()),
                      float(r.ssim_per_frame.mean())))
+
+        # 5c. same config on dead-leaves: the leaves-mix DDnet demosaics
+        # natural occlusion edges Malvar cannot (beats the flagship's
+        # Malvar path on this scene); demosaicking is feedback-benign, so
+        # natural training data helps here where it destabilizes the
+        # denoiser (RESULTS.md dose-response)
+        f5c = lambda: (reconstruct_single_dispatch(  # noqa: E731
+            yn, phi, wcfg, cfg5, prior, variables, orig=orign,
+            demosaic_fn=dm).x_bayer,)
+        t, _ = timed(f5c)
+        r = reconstruct_single_dispatch(yn, phi, wcfg, cfg5, prior, variables,
+                                        orig=orign, demosaic_fn=dm)
+        rows.append(("5c. DDnet joint demosaicking on dead-leaves", t,
+                     float(r.psnr_per_frame.mean()),
+                     float(r.ssim_per_frame.mean())))
     else:
         rows.append(("5a. FFDNet + DDnet joint demosaicking", float("nan"),
                      float("nan"), float("nan")))
