@@ -273,9 +273,10 @@ def main(out_path: str = "RESULTS.md") -> None:
     lines = [
         "# RESULTS — benchmark suite (synthetic 512x512x8 Bayer scene)",
         "",
-        f"Device: {dev}. Times are best-of-2 steady state (compile excluded),",
-        "completion forced by scalar host reads. North-star budget: 10 s per",
-        "snapshot (BASELINE.md).",
+        f"Device: {dev}. Times are best-of-N steady state (compile excluded;",
+        "N=2, or 6 on the jitter-prone adaptive FastDVDnet rows), completion",
+        "forced by scalar host reads. North-star budget: 10 s/snapshot",
+        "(BASELINE.md).",
         "",
         "| config | s/run | frames/s | PSNR (dB) | SSIM |",
         "|---|---|---|---|---|",
