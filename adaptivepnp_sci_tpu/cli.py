@@ -386,23 +386,33 @@ def _cmd_serve(args) -> None:
           f"(denoiser={args.denoiser}, scene config={args.scene})", flush=True)
     while True:
         try:
-            names = sorted(
-                f for f in os.listdir(args.watch)
-                if f.endswith(".mat") and f not in seen
+            listing = set(
+                f for f in os.listdir(args.watch) if f.endswith(".mat")
             )
         except FileNotFoundError:
             raise SystemExit(f"error: watch directory {args.watch} not found")
+        # forget files that left the directory (a re-created name is a new
+        # file); bounds seen/sizes in a long-lived service with rotating
+        # producers
+        seen &= listing
+        for gone in [f for f in sizes if f not in listing]:
+            del sizes[gone]
+        names = sorted(listing - seen)
         ready = []
         for f in names:
             # only process files whose size is stable across two polls
             # (writers may still be streaming the file)
-            path = os.path.join(args.watch, f)
-            sz = os.path.getsize(path)
+            try:
+                sz = os.path.getsize(os.path.join(args.watch, f))
+            except OSError:
+                sizes.pop(f, None)  # vanished mid-poll; re-listed next round
+                continue
             if sizes.get(f) == sz:
                 ready.append(f)
             sizes[f] = sz
         for fname in ready:
             path = os.path.join(args.watch, fname)
+            dst = os.path.join(args.out, fname)
             t0 = _time.perf_counter()
             try:
                 scene = load_cacti_mat(path, name=args.scene)
@@ -412,19 +422,22 @@ def _cmd_serve(args) -> None:
                     update=not args.no_update,
                     reuse_model=True,
                 )
-            except Exception as e:  # noqa: BLE001 — a bad file must not
-                # kill the service; report and move on
+                save_results(dst, out.x_bayer, out.x_rgb, out.psnr, out.ssim,
+                             out.psnr_all_iter)
+            except Exception as e:  # noqa: BLE001 — a bad file or a failed
+                # result write must not kill the service; report and move on
                 print(f"serve: {fname} FAILED: {e}", flush=True)
                 seen.add(fname)
                 continue
             if args.carry_weights and out.variables is not None:
                 variables = out.variables
-            dst = os.path.join(args.out, fname)
-            save_results(dst, out.x_bayer, out.x_rgb, out.psnr, out.ssim,
-                         out.psnr_all_iter)
             seen.add(fname)
+            # PSNR is only real when the file carries ground truth (the
+            # solver returns zeros without it — don't report those as dB)
+            q = (f"PSNR {out.psnr.mean():.2f} dB"
+                 if scene.orig_bayer is not None else "PSNR n/a (no orig)")
             print(
-                f"serve: {fname} -> {dst}  PSNR {out.psnr.mean():.2f} dB  "
+                f"serve: {fname} -> {dst}  {q}  "
                 f"{_time.perf_counter() - t0:.2f}s", flush=True,
             )
         if args.once and not names:

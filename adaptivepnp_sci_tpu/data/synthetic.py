@@ -126,6 +126,31 @@ def _dead_leaves_video(b: int, h: int, w: int,
     return video
 
 
+_PHOTO_CACHE: dict[float, np.ndarray] = {}
+
+
+def _photo_source(scale: float = 1.0) -> np.ndarray:
+    """Decoded (and optionally upscaled) real photograph, cached per scale —
+    ``make_scene(style='photo', n_meas=N)`` and training-pool generation
+    call `_photo_video` repeatedly on the same base image."""
+    key = round(float(scale), 4)
+    if key not in _PHOTO_CACHE:
+        import matplotlib
+        from PIL import Image
+        from scipy.ndimage import zoom
+
+        path = os.path.join(
+            matplotlib.get_data_path(), "sample_data", "grace_hopper.jpg"
+        )
+        img = np.asarray(Image.open(path), np.float32) / 255.0  # (600, 512, 3)
+        if key > 1.0:
+            img = np.stack(
+                [zoom(img[..., c], key, order=1) for c in range(3)], axis=-1
+            )
+        _PHOTO_CACHE[key] = img
+    return _PHOTO_CACHE[key]
+
+
 def _photo_video(b: int, h: int, w: int, rng: np.random.Generator) -> np.ndarray:
     """Real-photograph video: global subpixel camera pan over a real photo.
 
@@ -136,25 +161,17 @@ def _photo_video(b: int, h: int, w: int, rng: np.random.Generator) -> np.ndarray
     global pan with per-frame subpixel displacement (bilinear resampling),
     the camera-motion analogue of the reference's DAVIS scenes.
     """
-    import matplotlib
-    from PIL import Image
-    from scipy.ndimage import map_coordinates, zoom
-
-    path = os.path.join(
-        matplotlib.get_data_path(), "sample_data", "grace_hopper.jpg"
-    )
-    img = np.asarray(Image.open(path), np.float32) / 255.0  # (600, 512, 3)
+    from scipy.ndimage import map_coordinates
 
     # per-frame pan velocity (px/frame) + margin for the travel
     vy = float(rng.uniform(1.0, 3.0)) * (1 if rng.random() < 0.5 else -1)
     vx = float(rng.uniform(0.2, 1.0)) * (1 if rng.random() < 0.5 else -1)
+    img = _photo_source()
     need_h = h + abs(vy) * (b - 1) + 2
     need_w = w + abs(vx) * (b - 1) + 2
     s = max(need_h / img.shape[0], need_w / img.shape[1], 1.0)
     if s > 1.0:
-        img = np.stack(
-            [zoom(img[..., c], s, order=1) for c in range(3)], axis=-1
-        )
+        img = _photo_source(s)
     y_slack = img.shape[0] - h - abs(vy) * (b - 1) - 1
     x_slack = img.shape[1] - w - abs(vx) * (b - 1) - 1
     y0 = float(rng.uniform(0, max(y_slack, 0))) + (abs(vy) * (b - 1) if vy < 0 else 0)

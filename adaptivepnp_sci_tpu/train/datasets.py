@@ -94,25 +94,33 @@ def synthetic_video_dataset(
     """
     from adaptivepnp_sci_tpu.data.synthetic import (
         _dead_leaves_video,
+        _photo_video,
         _smooth_video,
         _texture_video,
     )
 
+    known = ("smooth", "textured", "leaves", "photo")
+    if styles:
+        bad = [s for s in styles if s not in known]
+        if bad:
+            raise ValueError(f"unknown clip style(s) {bad!r}; choose from {known}")
+
     rng = np.random.default_rng(seed)
 
     def generate(s: int) -> np.ndarray:
-        if styles:
-            style = styles[int(rng.integers(len(styles)))]
-        else:
-            # legacy flag: smooth, with textured content on a coin flip
-            style = "textured" if textured and rng.random() < 0.5 else "smooth"
+        # styles=None preserves the legacy rng stream exactly (video drawn
+        # BEFORE the textured coin flip), so the shipped-weights datasets
+        # stay seed-reproducible
+        style = styles[int(rng.integers(len(styles)))] if styles else None
         if style == "leaves":
             return _dead_leaves_video(length, s, s, rng)
+        if style == "photo":
+            return _photo_video(length, s, s, rng)
         video = _smooth_video(length, s, s, rng)
-        if style == "textured":
+        if style == "textured" or (
+            style is None and textured and rng.random() < 0.5
+        ):
             video = np.clip(video + _texture_video(length, s, rng), 0, 1)
-        elif style != "smooth":
-            raise ValueError(f"unknown clip style {style!r}")
         return video
 
     clips = []

@@ -52,8 +52,9 @@ def test_cli_warmstart_and_reconstruct(tmp_path, scene_mat, capsys):
 
 def test_cli_serve_processes_backlog(tmp_path, capsys):
     """`serve --once` must drain the watch directory: reconstruct every
-    stable .mat, write same-named results, and skip nothing. Unreadable
-    files must be reported, not kill the service."""
+    stable .mat (online adaptation ON, weights carried across files),
+    write same-named results, report ground-truth-less files as 'PSNR n/a'
+    instead of a fake 0.00 dB, and survive unreadable files."""
     watch = tmp_path / "in"
     outd = tmp_path / "out"
     watch.mkdir()
@@ -62,10 +63,15 @@ def test_cli_serve_processes_backlog(tmp_path, capsys):
     main(["synth", "--out", str(watch / "b.mat"), "--size", "32",
           "--frames", "4", "--seed", "2", "--style", "leaves"])
     (watch / "bad.mat").write_bytes(b"not a mat file")
+    # a measurement-only file (no ground truth), like a real capture
+    raw = sio.loadmat(str(watch / "a.mat"))
+    sio.savemat(str(watch / "blind.mat"),
+                {"meas_bayer": raw["meas_bayer"],
+                 "mask_bayer": raw["mask_bayer"]})
 
     args = ["serve", "--watch", str(watch), "--out", str(outd),
             "--denoiser", "ffdnet", "--once", "--poll", "0.1",
-            "--no-update", "--carry-weights"]
+            "--carry-weights"]
     if os.path.exists(FFD_CKPT):
         args += ["--ckpt", FFD_CKPT]
     else:
@@ -74,8 +80,9 @@ def test_cli_serve_processes_backlog(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "a.mat" in out and "b.mat" in out
     assert "bad.mat FAILED" in out
-    assert sorted(os.listdir(outd)) == ["a.mat", "b.mat"]
-    for f in ("a.mat", "b.mat"):
+    assert "blind.mat" in out and "PSNR n/a" in out
+    assert sorted(os.listdir(outd)) == ["a.mat", "b.mat", "blind.mat"]
+    for f in ("a.mat", "b.mat", "blind.mat"):
         saved = sio.loadmat(str(outd / f))
         assert saved["v_recon_bayer"].shape == (32, 32, 4)
         assert np.isfinite(saved["v_recon_bayer"]).all()
