@@ -269,6 +269,28 @@ def main(out_path: str = "RESULTS.md") -> None:
     rows.append((f"5b. batched x4 throughput ({4*b} frames)", t,
                  float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
 
+    # 6. scale row: 1024^2x8 (4x the flagship pixels) through the tiled
+    # large-scene mode (vmap over 512^2 tiles, adaptation grads pmean-shared,
+    # warm start cropped per tile) — near-linear scaling evidence
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_tiled
+
+    scene_big = make_scene(b=b, h=1024, w=1024, seed=42)
+    yb = jax.device_put(jnp.asarray(scene_big.meas))
+    phib = jax.device_put(jnp.asarray(scene_big.mask))
+    origb = jax.device_put(jnp.asarray(scene_big.orig_bayer))
+
+    def run_big():
+        x0 = gap_tv(yb, phib, wcfg).x_bayer
+        return two_stage_admm_tiled(yb, phib, cfg4, tile=512, prior=prior,
+                                    variables=variables, orig_bayer=origb,
+                                    x0_bayer=x0)
+
+    f6 = lambda: (run_big().x_bayer,)  # noqa: E731
+    t, _ = timed(f6)
+    r = run_big()
+    rows.append(("6. tiled 1024²x8 adaptive (4x pixels, 512² tiles)", t,
+                 float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
+
     dev = str(jax.devices()[0])
     lines = [
         "# RESULTS — benchmark suite (synthetic 512x512x8 Bayer scene)",

@@ -212,6 +212,29 @@ def test_two_stage_admm_tiled_matches_exact_for_tv(scene):
     assert float(tiled.psnr_per_frame.mean()) > float(whole.psnr_per_frame.mean()) - 1.5
 
 
+def test_two_stage_admm_tiled_warm_start(scene):
+    """x0_bayer warm-starts each tile with its crop of the full-size GAP-TV
+    result — tile-local x-updates make this exact for the TV path, so the
+    warm-started tiled solve must match the warm-started whole solve where
+    the whole solve equals its own tiling (and beat the adjoint cold
+    start, which stalls near init)."""
+    from adaptivepnp_sci_tpu.solvers import GapTVConfig, gap_tv
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_tiled
+
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=10)).x_bayer
+    config = ADMMConfig(sigma=(0.0,), iters=(4,), denoiser="tv")
+    whole = two_stage_admm(scene.meas, scene.mask, config,
+                           orig_bayer=scene.orig_bayer, x0_bayer=warm)
+    tiled = two_stage_admm_tiled(scene.meas, scene.mask, config, tile=16,
+                                 orig_bayer=scene.orig_bayer, x0_bayer=warm)
+    cold = two_stage_admm_tiled(scene.meas, scene.mask, config, tile=16,
+                                orig_bayer=scene.orig_bayer)
+    assert float(tiled.psnr_per_frame.mean()) > \
+        float(whole.psnr_per_frame.mean()) - 1.5
+    assert float(tiled.psnr_per_frame.mean()) > \
+        float(cold.psnr_per_frame.mean()) + 3.0
+
+
 def test_two_stage_admm_tiled_ffdnet_shapes(scene, tiny_ffdnet):
     from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_tiled
 
