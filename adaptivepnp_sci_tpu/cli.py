@@ -208,6 +208,7 @@ def _cmd_reconstruct(args) -> None:
         dm_update_per_iter=args.dm_update_per_iter,
         dm_in_scan=args.dm_in_scan,
         dm_fresh_opt=args.dm_fresh_opt,
+        tile=args.tile,
     )
     if args.out:
         save_results(
@@ -522,6 +523,10 @@ def main(argv=None) -> None:
     r.add_argument("--bf16", action="store_true",
                    help="FastDVDnet DenBlocks in bf16 with fp32 residuals "
                         "(1.5x faster, identical PSNR measured)")
+    r.add_argument("--tile", type=int, default=None,
+                   help="large-scene mode: solve as a vmap batch of NxN "
+                        "tiles (warm start cropped per tile, adaptation "
+                        "grads shared); use for scenes beyond ~512²")
     r.set_defaults(fn=_cmd_reconstruct)
 
     d = sub.add_parser("denoise", help="standalone denoiser test")

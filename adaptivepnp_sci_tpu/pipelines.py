@@ -141,8 +141,17 @@ def run_reconstruction(
     dm_update_per_iter: int = 1,
     dm_in_scan: bool = False,
     dm_fresh_opt: bool = False,
+    tile: int | None = None,
 ) -> ReconstructionOutput:
     """Two-stage online-adaptive reconstruction over all measurements.
+
+    ``tile``: large-scene mode — solve each measurement as a vmap batch of
+    ``tile x tile`` patches (``two_stage_admm_tiled``; warm start cropped
+    per tile, adaptation gradients pmean-shared across tiles). For scenes
+    larger than one denoiser program comfortably handles (e.g. 1024²+).
+    The pmean-shared adapted weights/optimizer state carry across
+    measurements as usual; incompatible with ``dm_update``/``dm_in_scan``
+    (the tiled solver has no demosaicker-state thread).
 
     With ``dm_update`` (the reference's dormant ``args.dm_update`` option),
     the DDnet demosaicker is self-consistency-adapted against the current
@@ -175,6 +184,12 @@ def run_reconstruction(
     opt_state = None
 
     dm_adapt = dm_opt = dm_spec = dm_opt_state = None
+    if tile is not None and (dm_in_scan or dm_update):
+        raise ValueError(
+            "tile mode does not compose with dm_update/dm_in_scan (the "
+            "tiled solver has no demosaicker-state thread); adapt the "
+            "demosaicker per measurement without tiling, or drop dm_update"
+        )
     if dm_update and dm_model is not None and dm_in_scan:
         from adaptivepnp_sci_tpu.solvers.two_stage_admm import make_dm_spec
 
@@ -210,17 +225,30 @@ def run_reconstruction(
             )
             demosaic_fn = ddnet_demosaic(dm_model, dm_variables)
             log.info("dm adaptation loss %.6f", float(dm_loss))
-        res = two_stage_admm(
-            scene.meas[t], scene.mask, config,
-            prior=prior, variables=variables, x0_bayer=x0,
-            orig_bayer=orig, demosaic_fn=demosaic_fn, opt_state=opt_state,
-            key=jax.random.PRNGKey(t),
-            dm_spec=dm_spec, dm_variables=dm_variables if dm_spec else None,
-            dm_opt_state=dm_opt_state,
-        )
+        if tile is not None:
+            from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+                two_stage_admm_tiled,
+            )
+
+            res = two_stage_admm_tiled(
+                scene.meas[t], scene.mask, config, tile=tile,
+                prior=prior, variables=variables, orig_bayer=orig,
+                demosaic_fn=demosaic_fn, x0_bayer=x0,
+            )
+        else:
+            res = two_stage_admm(
+                scene.meas[t], scene.mask, config,
+                prior=prior, variables=variables, x0_bayer=x0,
+                orig_bayer=orig, demosaic_fn=demosaic_fn, opt_state=opt_state,
+                key=jax.random.PRNGKey(t),
+                dm_spec=dm_spec,
+                dm_variables=dm_variables if dm_spec else None,
+                dm_opt_state=dm_opt_state,
+            )
         jax.block_until_ready(res.x_bayer)
         times.append(time.perf_counter() - t0)
         if reuse_model and update:
+            # tiled mode also returns the single pmean-shared weight/opt copy
             variables, opt_state = res.variables, res.opt_state
         if dm_spec is not None and reuse_model:
             dm_variables, dm_opt_state = res.dm_variables, res.dm_opt_state

@@ -88,6 +88,27 @@ def test_cli_serve_processes_backlog(tmp_path, capsys):
         assert np.isfinite(saved["v_recon_bayer"]).all()
 
 
+def test_cli_reconstruct_tiled(tmp_path, scene_mat, capsys):
+    """--tile routes through the large-scene tiled solver with the warm
+    start cropped per tile (adaptation on, Beauty config)."""
+    results = str(tmp_path / "tiled.mat")
+    args = ["reconstruct", "--data", scene_mat, "--name", "Beauty",
+            "--denoiser", "ffdnet", "--out", results, "--tile", "16"]
+    if os.path.exists(FFD_CKPT):
+        args += ["--ckpt", FFD_CKPT]
+    else:
+        args += ["--random-init"]
+    main(args)
+    out = capsys.readouterr().out
+    assert "PSNR" in out
+    saved = sio.loadmat(results)
+    assert saved["v_recon_bayer"].shape == (32, 32, 4)
+    assert np.isfinite(saved["v_recon_bayer"]).all()
+    if os.path.exists(FFD_CKPT):
+        # warm-started tiles must be far above the ~8-9 dB cold-start regime
+        assert saved["psnr"].mean() > 20.0
+
+
 @pytest.mark.skipif(not os.path.exists(FFD_CKPT), reason="reference ckpt absent")
 def test_cli_reconstruct_resolves_default_ckpt_and_warm_start(
     tmp_path, scene_mat, capsys
