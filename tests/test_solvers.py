@@ -305,14 +305,18 @@ def test_two_stage_admm_tiled_on_data_mesh(scene, tiny_ffdnet):
         adapt=AdaptConfig(lr=1e-4, update_per_iter=1, interval_iter=1,
                           initial_iter=0),
     )
+    from adaptivepnp_sci_tpu.solvers import GapTVConfig, gap_tv
+
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=5)).x_bayer
     mesh = make_mesh(data=4, frame=1)
     sharded = two_stage_admm_tiled(
         scene.meas, scene.mask, config, tile=16, prior=prior,
         variables=variables, orig_bayer=scene.orig_bayer, mesh=mesh,
+        x0_bayer=warm,
     )
     local = two_stage_admm_tiled(
         scene.meas, scene.mask, config, tile=16, prior=prior,
-        variables=variables, orig_bayer=scene.orig_bayer,
+        variables=variables, orig_bayer=scene.orig_bayer, x0_bayer=warm,
     )
     np.testing.assert_allclose(
         np.asarray(sharded.x_bayer), np.asarray(local.x_bayer),
