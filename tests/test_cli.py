@@ -88,6 +88,28 @@ def test_cli_serve_processes_backlog(tmp_path, capsys):
         assert np.isfinite(saved["v_recon_bayer"]).all()
 
 
+def test_cli_serve_reprocesses_recreated_files(tmp_path, capsys):
+    """A deleted-then-recreated filename is a NEW file: the seen/sizes
+    pruning forgets names that leave the directory, so a rotating producer
+    can reuse names (and the service's memory stays bounded)."""
+    watch = tmp_path / "in"
+    outd = tmp_path / "out"
+    watch.mkdir()
+    main(["synth", "--out", str(watch / "a.mat"), "--size", "32",
+          "--frames", "4", "--seed", "1"])
+    base = ["serve", "--watch", str(watch), "--out", str(outd),
+            "--denoiser", "ffdnet", "--once", "--poll", "0.1", "--no-update"]
+    base += (["--ckpt", FFD_CKPT] if os.path.exists(FFD_CKPT)
+             else ["--random-init"])
+    main(base)
+    assert "a.mat ->" in capsys.readouterr().out
+    (watch / "a.mat").unlink()
+    main(["synth", "--out", str(watch / "a.mat"), "--size", "32",
+          "--frames", "4", "--seed", "9"])
+    main(base)
+    assert "a.mat ->" in capsys.readouterr().out  # processed again
+
+
 def test_cli_reconstruct_tiled(tmp_path, scene_mat, capsys):
     """--tile routes through the large-scene tiled solver with the warm
     start cropped per tile (adaptation on, Beauty config)."""
