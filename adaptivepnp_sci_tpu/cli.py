@@ -359,6 +359,69 @@ def _cmd_synth(args) -> None:
     print(f"synthetic scene -> {args.out}")
 
 
+def _cmd_eval(args) -> None:
+    """Metrics report for a saved results ``.mat``.
+
+    The reference leaves metric inspection to reading ``log.txt`` or loading
+    the saved arrays in MATLAB (``two_stage_ADMM_Online_FFD_Warm.py:316-330``);
+    this prints the stored per-measurement PSNR/SSIM summary and — when
+    ground truth is available (``--data scene.mat``, or the ``orig_real`` key
+    the results writer stores) — recomputes PSNR/SSIM from the stored
+    reconstruction to verify the stored numbers. Pure host/NumPy: safe to run
+    while a TPU job owns the device."""
+    import scipy.io as sio
+
+    from adaptivepnp_sci_tpu.utils.image import calculate_psnr, calculate_ssim
+
+    res = sio.loadmat(args.results)
+    psnr = np.asarray(res["psnr"], np.float64)
+    ssim = np.asarray(res["ssim"], np.float64)
+    print(f"{args.results}: {psnr.shape[0]} measurement(s), "
+          f"{psnr.shape[1] if psnr.ndim > 1 else 1} frame(s) each")
+    for t in range(psnr.shape[0]):
+        print(f"  meas {t}: PSNR {np.mean(psnr[t]):6.2f} dB  "
+              f"SSIM {np.mean(ssim[t]):.4f}")
+    print(f"  mean:   PSNR {psnr.mean():6.2f} dB  SSIM {ssim.mean():.4f}")
+
+    # ground truth: --data wins; else the orig_real key stored in results
+    orig_bayer = None
+    if args.data:
+        from adaptivepnp_sci_tpu.data.mat_io import load_cacti_mat
+
+        orig_bayer = load_cacti_mat(args.data, name="eval").orig_bayer
+    elif "orig_real" in res:
+        from adaptivepnp_sci_tpu.ops.bayer import cfa_masks
+
+        rgb = np.asarray(res["orig_real"], np.float32) / 255.0
+        if rgb.ndim == 4 and rgb.shape[2] == 3:
+            # the reference's verbatim layout (H, W, 3, T*B)
+            rgb = np.transpose(rgb, (3, 0, 1, 2))   # (T*B, H, W, 3)
+            rgb = rgb.reshape(psnr.shape[0], -1, *rgb.shape[1:])
+        orig_bayer = (rgb * cfa_masks(rgb.shape[-3:-1])).sum(-1)
+    if orig_bayer is None:
+        print("no ground truth available (pass --data); stored summary only")
+        return
+
+    flat = np.asarray(res["v_recon_bayer"], np.float32)  # (H, W, T*B)
+    h, w, tb = flat.shape
+    t_n, b_n = orig_bayer.shape[:2]
+    x = np.transpose(flat, (2, 0, 1)).reshape(t_n, b_n, h, w)
+    re_p = np.array([
+        [calculate_psnr(x[t, b] * 255.0, orig_bayer[t, b] * 255.0)
+         for b in range(b_n)] for t in range(t_n)
+    ])
+    re_s = np.array([
+        [calculate_ssim(x[t, b] * 255.0, orig_bayer[t, b] * 255.0)
+         for b in range(b_n)] for t in range(t_n)
+    ])
+    print(f"  recomputed vs ground truth: PSNR {re_p.mean():6.2f} dB  "
+          f"SSIM {re_s.mean():.4f}")
+    dp = abs(re_p.mean() - psnr.mean())
+    if dp > 0.5:
+        print(f"  WARNING: recomputed PSNR differs from stored by "
+              f"{dp:.2f} dB (different ground truth?)")
+
+
 def _cmd_serve(args) -> None:
     """Reconstruction service: watch a directory for measurement ``.mat``
     files, reconstruct each with the standing config, write results.
@@ -568,6 +631,17 @@ def main(argv=None) -> None:
     s.add_argument("--n-meas", type=int, default=1)
     s.add_argument("--seed", type=int, default=42)
     s.set_defaults(fn=_cmd_synth)
+
+    e = sub.add_parser(
+        "eval",
+        help="metrics report for a saved results .mat (stored summary + "
+             "recomputed PSNR/SSIM when ground truth is available)",
+    )
+    e.add_argument("results", help="results .mat written by reconstruct")
+    e.add_argument("--data", default=None,
+                   help="scene .mat with orig_bayer ground truth (optional; "
+                        "falls back to the results' orig_real key)")
+    e.set_defaults(fn=_cmd_eval)
 
     v = sub.add_parser(
         "serve",

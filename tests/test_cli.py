@@ -147,3 +147,33 @@ def test_cli_reconstruct_resolves_default_ckpt_and_warm_start(
     # trained weights + warm start land far above the garbage regime even
     # on a 32px synthetic scene
     assert saved["psnr"].mean() > 20.0
+
+
+def test_cli_eval_reports_and_recomputes(tmp_path, scene_mat, capsys):
+    """`cli eval` prints the stored summary and recomputes PSNR from the
+    stored reconstruction against --data ground truth (and warns when the
+    stored numbers don't match the supplied ground truth)."""
+    warm = str(tmp_path / "warm.mat")
+    main(["warmstart", "--data", scene_mat, "--out", warm, "--iters", "10"])
+    results = str(tmp_path / "results.mat")
+    args = [
+        "reconstruct", "--data", scene_mat, "--warm", warm,
+        "--name", "Beauty", "--denoiser", "ffdnet",
+        "--out", results, "--no-update",
+    ]
+    args += ["--ckpt", FFD_CKPT] if os.path.exists(FFD_CKPT) \
+        else ["--random-init"]
+    main(args)
+    capsys.readouterr()
+
+    main(["eval", results, "--data", scene_mat])
+    out = capsys.readouterr().out
+    assert "mean:   PSNR" in out
+    assert "recomputed vs ground truth" in out
+    # the recomputed number agrees with the stored one (same ground truth)
+    assert "WARNING" not in out
+
+    # no --data: falls back to the orig_real key stored in the results
+    main(["eval", results])
+    out = capsys.readouterr().out
+    assert "recomputed vs ground truth" in out
