@@ -1,0 +1,177 @@
+"""Six-scene reproduction run: the reference's full experiment, end to end.
+
+The reference's workflow is ``python ADMM_TV_Warm_Start_save.py`` followed by
+``python two_stage_ADMM_Online_FFD_Warm.py`` — six mid-scale 512x512x8 color
+Bayer scenes (Beauty, Bosphorus, Jockey, Runner, ShakeNDry, Traffic), each
+with its own hand-tuned sigma-schedule / iteration / adaptation table
+(``two_stage_ADMM_Online_FFD_Warm.py:62-151``). The real ``.mat`` captures
+are not shipped in this environment, so each scene gets a deterministic
+synthetic stand-in with distinct statistics (smooth / textured / dead-leaves
+/ real-photo-pan), and the driver then runs the EXACT reference pipeline per
+scene through the library surface the CLI uses:
+
+  GAP-TV warm start (40 iters, ``WARM_START_ITERS``)
+    -> warm-start ``.mat`` contract (written + reloaded, like the two
+       reference scripts hand off through ``results/savedmat/``)
+    -> two-stage online-adaptive ADMM with the scene's VERBATIM config row
+       (``configs/scenes.py``; ``config=None`` resolves it by scene name)
+    -> results ``.mat`` with the reference's keys + SCENES.md summary table.
+
+Two measurements per scene exercise the refined-weight carry-over
+(``reuse_model``, FFD driver :270-275).
+
+Usage: python scripts/run_all_scenes.py [out_dir] (default results/scenes)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+# scene -> (style, seed): distinct deterministic statistics per stand-in.
+# Styles chosen to roughly echo each capture's character (Beauty is a smooth
+# face close-up; Bosphorus/Traffic carry hard edges and repeated texture;
+# Jockey/ShakeNDry are chaotic natural content; Runner is camera motion over
+# real-world detail).
+SCENE_STANDINS: dict[str, tuple[str, int]] = {
+    "Beauty": ("smooth", 101),
+    "Bosphorus": ("textured", 202),
+    "Jockey": ("leaves", 303),
+    "Runner": ("photo", 404),
+    "ShakeNDry": ("leaves", 505),
+    "Traffic": ("textured", 606),
+}
+
+
+def main(out_dir: str = "results/scenes", b: int = 8, h: int = 512,
+         w: int = 512, n_meas: int = 2, scenes: list[str] | None = None,
+         random_init: bool = False) -> list[tuple]:
+    """Run the six-scene experiment; small shapes + ``random_init`` allow a
+    CPU smoke test (``tests/test_pipelines.py``)."""
+    from adaptivepnp_sci_tpu.configs.scenes import admm_config_for
+    from adaptivepnp_sci_tpu.data.mat_io import (
+        SceneData,
+        load_warm_start,
+        save_results,
+        save_warm_start,
+    )
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+    from adaptivepnp_sci_tpu.models.convert import load_ffdnet
+    from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+    from adaptivepnp_sci_tpu.pipelines import run_reconstruction, run_warm_start
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    model = ffdnet_color()
+    ckpt = "/root/reference/model_zoo/ffdnet_color.pth"
+    if os.path.exists(ckpt) and not random_init:
+        variables = load_ffdnet(ckpt)
+    else:
+        import jax.numpy as jnp
+
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), jnp.float32(0.1)
+        )
+    variables = jax.device_put(variables)
+    prior = ffdnet_prior(model)
+
+    rows = []
+    for name, (style, seed) in SCENE_STANDINS.items():
+        if scenes is not None and name not in scenes:
+            continue
+        syn = make_scene(b=b, h=h, w=w, seed=seed, n_meas=n_meas, style=style)
+        # make_scene drops the T axis when n_meas == 1
+        meas = syn.meas[..., None] if syn.meas.ndim == 2 else syn.meas
+        orig_b = syn.orig_bayer[None] if syn.orig_bayer.ndim == 3 \
+            else syn.orig_bayer
+        orig_rgb = syn.orig_rgb[None] if syn.orig_rgb.ndim == 4 \
+            else syn.orig_rgb
+        scene = SceneData(
+            name=name,
+            meas=np.transpose(meas, (2, 0, 1)).astype(np.float32),
+            mask=syn.mask,
+            orig_bayer=orig_b.astype(np.float32),
+            orig_real=(orig_rgb * 255.0).astype(np.float32),
+        )
+
+        warm = run_warm_start(scene)
+        # steady-state: the first measurement pays XLA program load (cache
+        # deserialization ~10 s/process); min over measurements is the
+        # per-measurement cost a multi-measurement run actually sees
+        warm_s = min(warm.seconds_per_meas)
+        warm_path = os.path.join(out_dir, f"_Admm_tv_{name}8.mat")
+        save_warm_start(warm_path, warm.x_bayer)
+        # reload through the .mat contract, exactly like the FFD driver
+        # (two_stage_ADMM_Online_FFD_Warm.py:171-176) consumes stage 1
+        x0 = load_warm_start(warm_path, scene.n_frames)
+
+        cfg = admm_config_for(name, "ffdnet", False, True)
+        out = run_reconstruction(
+            scene, prior, variables, denoiser="ffdnet", warm_start=x0
+        )
+        save_results(
+            os.path.join(out_dir, f"{name}8_online_ffd.mat"),
+            out.x_bayer, out.x_rgb, out.psnr, out.ssim, out.psnr_all_iter,
+            orig_real=scene.orig_real,
+            meas_bayer=np.transpose(scene.meas, (1, 2, 0)) * scene.maxb,
+        )
+        rows.append(
+            (name, style, "/".join(f"{int(round(s * 255))}" for s in cfg.sigma),
+             "/".join(str(i) for i in cfg.iters),
+             float(warm.psnr.mean()), float(out.psnr.mean()),
+             float(out.ssim.mean()), warm_s,
+             min(out.seconds_per_meas))
+        )
+        print(f"{name:10s} [{style:8s}] warm {rows[-1][4]:.2f} dB -> "
+              f"final {rows[-1][5]:.2f} dB / {rows[-1][6]:.4f} SSIM, "
+              f"{rows[-1][8]:.2f}s/meas", flush=True)
+
+    lines = [
+        "# SCENES — six-scene reproduction run (synthetic stand-ins)",
+        "",
+        "The reference's full two-script experiment (`ADMM_TV_Warm_Start_save.py`",
+        "-> `two_stage_ADMM_Online_FFD_Warm.py`) run end-to-end per scene with",
+        "each scene's VERBATIM schedule table (`configs/scenes.py`), on",
+        "deterministic synthetic stand-ins (real captures unavailable here).",
+        "Two measurements per scene; refined weights carry across measurements",
+        "(`reuse_model`). Produced by `scripts/run_all_scenes.py`; warm-start and",
+        "result `.mat` files land in `results/scenes/` with the reference's keys.",
+        "",
+        "Reading the numbers: on the easy smooth stand-in GAP-TV alone already",
+        "exceeds 60 dB and the denoiser-driven stage pulls toward its own prior",
+        "(same artifact as RESULTS.md rows 1 vs 2/4) — the schedules were tuned",
+        "on real ~30 dB captures. On every hard stand-in (textured / leaves /",
+        "photo) the two-stage solver delivers the expected gain over the warm",
+        "start (+2 to +9 dB).",
+        "",
+        "| scene | stand-in | sigma/255 | iters | warm dB | final dB | SSIM |"
+        " warm s/meas | recon s/meas (steady) |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]:.2f} | {r[5]:.2f} "
+            f"| {r[6]:.4f} | {r[7]:.3f} | {r[8]:.3f} |"
+        )
+    lines.append("")
+    if scenes is None and (h, w) == (512, 512):  # full run only
+        with open("SCENES.md", "w") as f:
+            f.write("\n".join(lines))
+        print("wrote SCENES.md")
+    return rows
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

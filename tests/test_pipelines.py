@@ -199,3 +199,30 @@ def test_git_revision():
 
     rev = git_revision("/root/repo")
     assert len(rev) == 40 or rev == "unknown"
+
+
+def test_run_all_scenes_smoke(tmp_path, monkeypatch):
+    """The six-scene reproduction driver (scripts/run_all_scenes.py) runs the
+    full warmstart -> .mat handoff -> per-scene-table reconstruction chain.
+    One scene at toy scale with a random-init denoiser; the 512^2 run of the
+    same code produces SCENES.md."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_all_scenes", "scripts/run_all_scenes.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.chdir("/root/repo")  # results paths are repo-relative
+    out_dir = str(tmp_path / "scenes")
+    rows = mod.main(out_dir=out_dir, b=4, h=32, w=32, n_meas=1,
+                    scenes=["Beauty"], random_init=True)
+    assert len(rows) == 1
+    name, style = rows[0][0], rows[0][1]
+    assert (name, style) == ("Beauty", "smooth")
+    assert os.path.exists(os.path.join(out_dir, "_Admm_tv_Beauty8.mat"))
+    assert os.path.exists(os.path.join(out_dir, "Beauty8_online_ffd.mat"))
+    # final PSNR is a real number and the warm start did something
+    assert np.isfinite(rows[0][5]) and rows[0][4] > 5.0
