@@ -376,35 +376,48 @@ def _cmd_eval(args) -> None:
     res = sio.loadmat(args.results)
     psnr = np.asarray(res["psnr"], np.float64)
     ssim = np.asarray(res["ssim"], np.float64)
+    # the solver stores zeros when the scene carried no ground truth (the
+    # serve path prints 'PSNR n/a' for the same reason) — don't present
+    # zeros as measured dB
+    stored_real = bool(np.any(psnr))
     print(f"{args.results}: {psnr.shape[0]} measurement(s), "
           f"{psnr.shape[1] if psnr.ndim > 1 else 1} frame(s) each")
-    for t in range(psnr.shape[0]):
-        print(f"  meas {t}: PSNR {np.mean(psnr[t]):6.2f} dB  "
-              f"SSIM {np.mean(ssim[t]):.4f}")
-    print(f"  mean:   PSNR {psnr.mean():6.2f} dB  SSIM {ssim.mean():.4f}")
+    if stored_real:
+        for t in range(psnr.shape[0]):
+            print(f"  meas {t}: PSNR {np.mean(psnr[t]):6.2f} dB  "
+                  f"SSIM {np.mean(ssim[t]):.4f}")
+        print(f"  mean:   PSNR {psnr.mean():6.2f} dB  SSIM {ssim.mean():.4f}")
+    else:
+        print("  stored PSNR/SSIM are all zero (reconstructed without "
+              "ground truth)")
 
-    # ground truth: --data wins; else the orig_real key stored in results
+    # ground truth: --data when it has one, else the results' orig_real key
+    h, w, tb = np.asarray(res["v_recon_bayer"]).shape
     orig_bayer = None
     if args.data:
         from adaptivepnp_sci_tpu.data.mat_io import load_cacti_mat
 
         orig_bayer = load_cacti_mat(args.data, name="eval").orig_bayer
-    elif "orig_real" in res:
-        from adaptivepnp_sci_tpu.ops.bayer import cfa_masks
-
+    if orig_bayer is None and "orig_real" in res:
         rgb = np.asarray(res["orig_real"], np.float32) / 255.0
-        if rgb.ndim == 4 and rgb.shape[2] == 3:
-            # the reference's verbatim layout (H, W, 3, T*B)
-            rgb = np.transpose(rgb, (3, 0, 1, 2))   # (T*B, H, W, 3)
-            rgb = rgb.reshape(psnr.shape[0], -1, *rgb.shape[1:])
-        orig_bayer = (rgb * cfa_masks(rgb.shape[-3:-1])).sum(-1)
+        rgb = _orig_real_to_tbhwc(rgb, psnr.shape[0], h, w)
+        if rgb is not None:
+            from adaptivepnp_sci_tpu.ops.bayer import cfa_masks
+
+            orig_bayer = (rgb * cfa_masks(rgb.shape[-3:-1])).sum(-1)
+        else:
+            print(f"  orig_real layout {res['orig_real'].shape} not "
+                  "recognized; skipping recompute")
     if orig_bayer is None:
         print("no ground truth available (pass --data); stored summary only")
         return
 
-    flat = np.asarray(res["v_recon_bayer"], np.float32)  # (H, W, T*B)
-    h, w, tb = flat.shape
     t_n, b_n = orig_bayer.shape[:2]
+    if t_n * b_n != tb:
+        print(f"  ground truth ({t_n}x{b_n} frames) does not match the "
+              f"reconstruction ({tb} frames); skipping recompute")
+        return
+    flat = np.asarray(res["v_recon_bayer"], np.float32)  # (H, W, T*B)
     x = np.transpose(flat, (2, 0, 1)).reshape(t_n, b_n, h, w)
     re_p = np.array([
         [calculate_psnr(x[t, b] * 255.0, orig_bayer[t, b] * 255.0)
@@ -417,9 +430,32 @@ def _cmd_eval(args) -> None:
     print(f"  recomputed vs ground truth: PSNR {re_p.mean():6.2f} dB  "
           f"SSIM {re_s.mean():.4f}")
     dp = abs(re_p.mean() - psnr.mean())
-    if dp > 0.5:
+    if stored_real and dp > 0.5:
         print(f"  WARNING: recomputed PSNR differs from stored by "
               f"{dp:.2f} dB (different ground truth?)")
+
+
+def _orig_real_to_tbhwc(rgb: np.ndarray, t_n: int, h: int,
+                        w: int) -> np.ndarray | None:
+    """Normalize a stored ``orig_real`` RGB ground truth to (T, B, H, W, 3).
+
+    The key is carried VERBATIM from the input scene like the reference
+    driver does (``two_stage_ADMM_Online_FFD_Warm.py:169,329``), so its
+    layout depends on provenance: (T,B,H,W,3) from the pipelines/synthetic
+    path, (H,W,3,T*B) from scipy-authored v5 scenes, (T*B,3,W,H) from h5py
+    v7.3 scenes (MATLAB-reversed). Returns None for unrecognized layouts.
+    """
+    if rgb.ndim == 5 and rgb.shape[-1] == 3:
+        return rgb
+    if rgb.ndim == 4 and rgb.shape[:2] == (h, w) and rgb.shape[2] == 3:
+        out = np.transpose(rgb, (3, 0, 1, 2))          # (T*B, H, W, 3)
+    elif rgb.ndim == 4 and rgb.shape[1] == 3 and rgb.shape[2:] == (w, h):
+        out = np.transpose(rgb, (0, 3, 2, 1))          # (T*B, H, W, 3)
+    else:
+        return None
+    if t_n <= 0 or out.shape[0] % t_n:
+        return None
+    return out.reshape(t_n, -1, *out.shape[1:])
 
 
 def _cmd_serve(args) -> None:

@@ -117,9 +117,12 @@ def main(out_dir: str = "results/scenes", b: int = 8, h: int = 512,
         # (two_stage_ADMM_Online_FFD_Warm.py:171-176) consumes stage 1
         x0 = load_warm_start(warm_path, scene.n_frames)
 
+        # resolve the scene's table row once and pass it through, so the
+        # SCENES.md schedule columns and the run share one config object
         cfg = admm_config_for(name, "ffdnet", False, True)
         out = run_reconstruction(
-            scene, prior, variables, denoiser="ffdnet", warm_start=x0
+            scene, prior, variables, denoiser="ffdnet", warm_start=x0,
+            config=cfg,
         )
         save_results(
             os.path.join(out_dir, f"{name}8_online_ffd.mat"),
@@ -174,4 +177,4 @@ def main(out_dir: str = "results/scenes", b: int = 8, h: int = 512,
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    main(*sys.argv[1:2])  # CLI form takes [out_dir] only

@@ -177,3 +177,23 @@ def test_cli_eval_reports_and_recomputes(tmp_path, scene_mat, capsys):
     main(["eval", results])
     out = capsys.readouterr().out
     assert "recomputed vs ground truth" in out
+
+
+def test_orig_real_layout_normalizer():
+    """_orig_real_to_tbhwc recognizes all three provenance layouts that the
+    verbatim-carried orig key can arrive in (and rejects garbage)."""
+    from adaptivepnp_sci_tpu.cli import _orig_real_to_tbhwc
+
+    t, b, h, w = 2, 4, 8, 6
+    ref = np.random.default_rng(0).random((t, b, h, w, 3)).astype(np.float32)
+
+    assert _orig_real_to_tbhwc(ref, t, h, w) is ref  # already (T,B,H,W,3)
+
+    v5 = np.transpose(ref.reshape(t * b, h, w, 3), (1, 2, 3, 0))  # (H,W,3,TB)
+    np.testing.assert_array_equal(_orig_real_to_tbhwc(v5, t, h, w), ref)
+
+    v73 = np.transpose(ref.reshape(t * b, h, w, 3), (0, 3, 2, 1))  # (TB,3,W,H)
+    np.testing.assert_array_equal(_orig_real_to_tbhwc(v73, t, h, w), ref)
+
+    assert _orig_real_to_tbhwc(np.zeros((h, w, 4, t * b)), t, h, w) is None
+    assert _orig_real_to_tbhwc(v5, 3, h, w) is None  # TB not divisible by T

@@ -209,13 +209,12 @@ def test_run_all_scenes_smoke(tmp_path, monkeypatch):
     import importlib.util
     import os
 
+    monkeypatch.chdir("/root/repo")  # script + weight paths are repo-relative
     spec = importlib.util.spec_from_file_location(
         "run_all_scenes", "scripts/run_all_scenes.py"
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-
-    monkeypatch.chdir("/root/repo")  # results paths are repo-relative
     out_dir = str(tmp_path / "scenes")
     rows = mod.main(out_dir=out_dir, b=4, h=32, w=32, n_meas=1,
                     scenes=["Beauty"], random_init=True)
