@@ -125,6 +125,29 @@ def worker(pid: int, nproc: int, port: int) -> None:
     )
     print(f"proc {pid}: cross-process ring-halo prior matches unsharded",
           flush=True)
+
+    # --- 3. full two-stage ADMM with the process-spanning prior -----------
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+    from adaptivepnp_sci_tpu.solvers import ADMMConfig, two_stage_admm
+
+    scene = make_scene(b=8, h=16, w=16, seed=3)
+    config = ADMMConfig(sigma=(12 / 255,), iters=(3,), denoiser="fastdvd")
+    res = two_stage_admm(
+        scene.meas, scene.mask, config, prior=prior, variables=fvars,
+        orig_bayer=scene.orig_bayer,
+    )
+    want_res = two_stage_admm(
+        scene.meas, scene.mask, config, prior=fastdvd_prior(fmodel),
+        variables=fvars, orig_bayer=scene.orig_bayer,
+    )
+    got_x = (np.asarray(res.x_bayer) if res.x_bayer.is_fully_addressable
+             else np.asarray(
+                 multihost_utils.process_allgather(res.x_bayer, tiled=True)))
+    np.testing.assert_allclose(
+        got_x, np.asarray(want_res.x_bayer), rtol=2e-5, atol=1e-5
+    )
+    print(f"proc {pid}: multi-process two-stage ADMM matches single-device "
+          f"({float(res.psnr_per_frame.mean()):.2f} dB)", flush=True)
     print(f"proc {pid}: OK", flush=True)
 
 
