@@ -151,32 +151,70 @@ def worker(pid: int, nproc: int, port: int) -> None:
     print(f"proc {pid}: OK", flush=True)
 
 
-def launch(nproc: int = 2) -> int:
-    import socket
+def _launch_once(nproc: int, port: int, timeout_s: int) -> tuple[int, bool]:
+    """Run one 2-process attempt. Returns (n_ok, coordinator_bind_failed)."""
     import subprocess
+    import tempfile
 
-    with socket.socket() as s:  # pick a free port
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    procs = [
-        subprocess.Popen(
+    procs, logs = [], []
+    for i in range(nproc):
+        log = tempfile.NamedTemporaryFile(  # noqa: SIM115 — read back below
+            mode="w+", suffix=f".worker{i}.log", delete=False
+        )
+        logs.append(log)
+        procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
              str(i), str(nproc), str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(nproc)
-    ]
-    ok = 0
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
-        tail = "\n".join(out.strip().splitlines()[-6:])
+            stdout=log, stderr=subprocess.STDOUT,
+            start_new_session=True,  # own process group: killable as a unit
+        ))
+    ok, bind_failed = 0, False
+    try:
+        for p in procs:
+            try:
+                p.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                pass  # killed in finally; counted as failed below
+    finally:
+        import signal
+
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                p.wait()
+    for i, (p, log) in enumerate(zip(procs, logs)):
+        log.seek(0)
+        out = log.read()
+        log.close()
+        os.unlink(log.name)
+        failed = p.returncode != 0 or f"proc {i}: OK" not in out
+        # show enough context to diagnose a worker failure from CI logs
+        tail = "\n".join(out.strip().splitlines()[-(40 if failed else 6):])
         print(f"--- worker {i} (rc={p.returncode}) ---\n{tail}", flush=True)
-        if p.returncode == 0 and f"proc {i}: OK" in out:
+        if not failed:
             ok += 1
-    if ok == nproc:
-        print(f"multihost validation: {nproc} processes OK")
-        return 0
+        elif "Failed to bind" in out or "Address already in use" in out:
+            bind_failed = True
+    return ok, bind_failed
+
+
+def launch(nproc: int = 2, timeout_s: int = 420) -> int:
+    import socket
+
+    for attempt in range(2):  # retry once on a coordinator-port race
+        with socket.socket() as s:  # pick a free port
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        ok, bind_failed = _launch_once(nproc, port, timeout_s)
+        if ok == nproc:
+            print(f"multihost validation: {nproc} processes OK")
+            return 0
+        if not bind_failed:
+            break
+        print(f"coordinator port {port} raced; retrying", flush=True)
     print(f"multihost validation FAILED ({ok}/{nproc} OK)")
     return 1
 

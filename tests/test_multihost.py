@@ -12,16 +12,19 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_two_process_distributed_validation():
     env = dict(os.environ)
     # the workers set their own XLA_FLAGS / platform; scrub the suite's
     env.pop("XLA_FLAGS", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/multihost_validation.py")],
-        capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
     assert "multihost validation: 2 processes OK" in out.stdout

@@ -80,16 +80,21 @@ def test_data_consistent_fixed_points(seed, b, h, w):
 @settings(**COMMON)
 @given(SEEDS, SIZES, SIZES)
 def test_mosaic_embed_consistency(seed, h, w):
-    """mosaic(embed_rgb(bayer)) == bayer and rggb_subsample == pack(mosaic)."""
+    """mosaic(embed_rgb(bayer)) == bayer; rggb_subsample puts each color's
+    parity-site samples in the right plane (independent NumPy slicing — not
+    a re-derivation through the same ops)."""
     rng = np.random.default_rng(seed)
     mosaic_img = rng.random((2 * h, 2 * w)).astype(np.float32)
     back = bayer.mosaic(bayer.embed_rgb(jnp.asarray(mosaic_img)))
     np.testing.assert_allclose(np.asarray(back), mosaic_img, rtol=1e-6)
 
     rgb = rng.random((2 * h, 2 * w, 3)).astype(np.float32)
-    a = bayer.rggb_subsample(jnp.asarray(rgb))
-    b_ = bayer.pack(bayer.mosaic(jnp.asarray(rgb)))
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)
+    planes = np.asarray(bayer.rggb_subsample(jnp.asarray(rgb)))
+    # RGGB: R at (even,even) ch0, G at (even,odd)+(odd,even) ch1, B (odd,odd) ch2
+    np.testing.assert_allclose(planes[0], rgb[0::2, 0::2, 0], rtol=1e-6)
+    np.testing.assert_allclose(planes[1], rgb[0::2, 1::2, 1], rtol=1e-6)
+    np.testing.assert_allclose(planes[2], rgb[1::2, 0::2, 1], rtol=1e-6)
+    np.testing.assert_allclose(planes[3], rgb[1::2, 1::2, 2], rtol=1e-6)
 
 
 def _rof_energy(out, inp, weight):
