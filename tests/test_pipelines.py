@@ -219,9 +219,32 @@ def test_run_all_scenes_smoke(tmp_path, monkeypatch):
     rows = mod.main(out_dir=out_dir, b=4, h=32, w=32, n_meas=1,
                     scenes=["Beauty"], random_init=True)
     assert len(rows) == 1
-    name, style = rows[0][0], rows[0][1]
-    assert (name, style) == ("Beauty", "smooth")
+    name, mode, style = rows[0][:3]
+    assert (name, mode, style) == ("Beauty", "ffd", "smooth")
     assert os.path.exists(os.path.join(out_dir, "_Admm_tv_Beauty8.mat"))
     assert os.path.exists(os.path.join(out_dir, "Beauty8_online_ffd.mat"))
     # final PSNR is a real number and the warm start did something
-    assert np.isfinite(rows[0][5]) and rows[0][4] > 5.0
+    assert np.isfinite(rows[0][6]) and rows[0][5] > 5.0
+
+
+def test_run_all_scenes_fastdvd_dd_mode(tmp_path, monkeypatch):
+    """Mode dispatch: the FastDVD driver with deep_demosaicking wires the
+    DDnet demosaicker + the FASTDVD_SCENES table row through the script."""
+    import importlib.util
+    import os
+
+    monkeypatch.chdir("/root/repo")
+    spec = importlib.util.spec_from_file_location(
+        "run_all_scenes", "scripts/run_all_scenes.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out_dir = str(tmp_path / "scenes")
+    rows = mod.main(out_dir=out_dir, mode="fastdvd-dd", b=4, h=32, w=32,
+                    n_meas=1, scenes=["Traffic"], random_init=True)
+    assert len(rows) == 1
+    assert rows[0][:2] == ("Traffic", "fastdvd-dd")
+    # Traffic's FastDVD deep_demosaicking row: sigma 25/12/6, iters 36/6/2
+    assert rows[0][3] == "25/12/6" and rows[0][4] == "36/6/2"
+    assert os.path.exists(os.path.join(out_dir, "Traffic8_online_fastdvd-dd.mat"))
+    assert np.isfinite(rows[0][6])
