@@ -149,7 +149,9 @@ def _cmd_reconstruct(args) -> None:
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
-        dd = DDnet()
+        # bf16 U-Net chains, fp32 residuals/mixing: measured identical
+        # PSNR/SSIM and 21% faster end-to-end (scripts/ab_ddnet_precision.py)
+        dd = DDnet(dtype=jnp.bfloat16 if args.bf16 else None)
         dd_vars = load_weights(
             args.ddnet_ckpt, load_ddnet,
             lambda: dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 64, 64, 3))),
@@ -620,8 +622,9 @@ def main(argv=None) -> None:
     r.add_argument("--no-update", action="store_true")
     r.add_argument("--no-reuse-model", action="store_true")
     r.add_argument("--bf16", action="store_true",
-                   help="FastDVDnet DenBlocks in bf16 with fp32 residuals "
-                        "(1.5x faster, identical PSNR measured)")
+                   help="FastDVDnet/DDnet DenBlocks in bf16 with fp32 "
+                        "residuals (1.5x / 1.27x faster, identical PSNR "
+                        "measured)")
     r.add_argument("--tile", type=int, default=None,
                    help="large-scene mode: solve as a vmap batch of NxN "
                         "tiles (warm start cropped per tile, adaptation "

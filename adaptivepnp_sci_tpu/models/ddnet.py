@@ -15,9 +15,19 @@ the main drivers load (``/root/reference/models/network_demosaicking.py:
 
 The reference's unused ``inc`` (noise-map) sub-blocks are not instantiated;
 the converter drops their checkpoint entries.
+
+``dtype=jnp.bfloat16`` runs each U-Net's conv chains in bf16 with fp32
+residuals/endpoints (the same scheme measured PSNR-identical on
+FastDVDnet's DenBlocks): parameters stay fp32, the center-frame residual
+add, the bilinear upsample and the learned branch-weight mixing stay fp32.
+The grouped per-frame input convs run as block-diagonal DENSE contractions
+(``_GroupedAsDenseConv`` — mathematically identical incl. gradients; the
+tiny per-group reduce dims of a real grouped conv waste the MXU).
 """
 
 from __future__ import annotations
+
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -27,16 +37,17 @@ from adaptivepnp_sci_tpu.models.common import (
     depth_to_space,
     upsample_bilinear_align_corners,
 )
+from adaptivepnp_sci_tpu.models.fastdvdnet import _GroupedAsDenseConv
 from adaptivepnp_sci_tpu.ops import bayer
 
 BASE_LAYER = 20
 
 
 def _conv(x: Array, features: int, name: str, groups: int = 1,
-          strides: tuple[int, int] = (1, 1)) -> Array:
+          strides: tuple[int, int] = (1, 1), dtype=None) -> Array:
     return nn.Conv(
         features, (3, 3), strides=strides, padding=((1, 1), (1, 1)),
-        use_bias=False, feature_group_count=groups, name=name,
+        use_bias=False, feature_group_count=groups, name=name, dtype=dtype,
     )(x)
 
 
@@ -44,11 +55,12 @@ class CvBlock(nn.Module):
     """(Conv => ReLU) x 2, no norm."""
 
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.relu(_conv(x, self.out_ch, "conv0"))
-        return nn.relu(_conv(x, self.out_ch, "conv1"))
+        x = nn.relu(_conv(x, self.out_ch, "conv0", dtype=self.dtype))
+        return nn.relu(_conv(x, self.out_ch, "conv1", dtype=self.dtype))
 
 
 class InputCvBlock2(nn.Module):
@@ -57,41 +69,47 @@ class InputCvBlock2(nn.Module):
     num_in_frames: int
     out_ch: int
     interm_ch: int = 30
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = _conv(x, self.num_in_frames * self.interm_ch, "conv0",
-                  groups=self.num_in_frames)
+        x = _GroupedAsDenseConv(self.num_in_frames * self.interm_ch,
+                                self.num_in_frames, dtype=self.dtype,
+                                name="conv0")(x)
         x = nn.relu(x)
-        return nn.relu(_conv(x, self.out_ch, "conv1"))
+        return nn.relu(_conv(x, self.out_ch, "conv1", dtype=self.dtype))
 
 
 class DownBlock(nn.Module):
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.relu(_conv(x, self.out_ch, "conv0", strides=(2, 2)))
-        return CvBlock(self.out_ch, name="cvblock")(x)
+        x = nn.relu(_conv(x, self.out_ch, "conv0", strides=(2, 2),
+                          dtype=self.dtype))
+        return CvBlock(self.out_ch, dtype=self.dtype, name="cvblock")(x)
 
 
 class UpBlock(nn.Module):
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = CvBlock(x.shape[-1], name="cvblock")(x)
-        x = _conv(x, self.out_ch * 4, "conv0")
+        x = CvBlock(x.shape[-1], dtype=self.dtype, name="cvblock")(x)
+        x = _conv(x, self.out_ch * 4, "conv0", dtype=self.dtype)
         return depth_to_space(x, 2)
 
 
 class OutputCvBlock(nn.Module):
     out_ch: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.relu(_conv(x, x.shape[-1], "conv0"))
-        return _conv(x, self.out_ch, "conv1")
+        x = nn.relu(_conv(x, x.shape[-1], "conv0", dtype=self.dtype))
+        return _conv(x, self.out_ch, "conv1", dtype=self.dtype)
 
 
 class DenBlock(nn.Module):
@@ -100,36 +118,48 @@ class DenBlock(nn.Module):
     num_in_frames: int = 3
     out_ch: int = 3
     chs: tuple[int, int, int] = (BASE_LAYER, BASE_LAYER * 2, BASE_LAYER * 4)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, in0: Array, in1: Array, in2: Array) -> Array:
         x = jnp.concatenate([in0, in1, in2], axis=-1)
-        x0 = InputCvBlock2(self.num_in_frames, self.chs[0], name="inc_1")(x)
-        x1 = DownBlock(self.chs[1], name="downc0")(x0)
-        x2 = DownBlock(self.chs[2], name="downc1")(x1)
-        x2 = UpBlock(self.chs[1], name="upc2")(x2)
-        x1 = UpBlock(self.chs[0], name="upc1")(x1 + x2)
-        x = OutputCvBlock(self.out_ch, name="outc")(x0 + x1)
-        return in1 + x  # broadcasts 1-channel center over 3-channel estimate
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        dt = self.dtype
+        x0 = InputCvBlock2(self.num_in_frames, self.chs[0], dtype=dt,
+                           name="inc_1")(x)
+        x1 = DownBlock(self.chs[1], dtype=dt, name="downc0")(x0)
+        x2 = DownBlock(self.chs[2], dtype=dt, name="downc1")(x1)
+        x2 = UpBlock(self.chs[1], dtype=dt, name="upc2")(x2)
+        x1 = UpBlock(self.chs[0], dtype=dt, name="upc1")(x1 + x2)
+        x = OutputCvBlock(self.out_ch, dtype=dt, name="outc")(x0 + x1)
+        # fp32 residual: center-frame skip + accumulate stay full precision
+        # (broadcasts 1-channel center over 3-channel estimate)
+        return in1.astype(jnp.float32) + x.astype(jnp.float32)
 
 
 class DenBlock4ChBayer(nn.Module):
     """Half-res 4-channel RGGB branch: residual + bilinear 2x + 4->3 fusion."""
 
     chs: tuple[int, int, int] = (BASE_LAYER, BASE_LAYER * 2, BASE_LAYER * 4)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, in0: Array, in1: Array, in2: Array) -> Array:
         x = jnp.concatenate([in0, in1, in2], axis=-1)
-        x0 = InputCvBlock2(3, self.chs[0], name="inc_1")(x)
-        x1 = DownBlock(self.chs[1], name="downc0")(x0)
-        x2 = DownBlock(self.chs[2], name="downc1")(x1)
-        x2 = UpBlock(self.chs[1], name="upc2")(x2)
-        x1 = UpBlock(self.chs[0], name="upc1")(x1 + x2)
-        x = OutputCvBlock(4, name="outc")(x0 + x1)
-        x = in1 + x
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        dt = self.dtype
+        x0 = InputCvBlock2(3, self.chs[0], dtype=dt, name="inc_1")(x)
+        x1 = DownBlock(self.chs[1], dtype=dt, name="downc0")(x0)
+        x2 = DownBlock(self.chs[2], dtype=dt, name="downc1")(x1)
+        x2 = UpBlock(self.chs[1], dtype=dt, name="upc2")(x2)
+        x1 = UpBlock(self.chs[0], dtype=dt, name="upc1")(x1 + x2)
+        x = OutputCvBlock(4, dtype=dt, name="outc")(x0 + x1)
+        # fp32 residual + bilinear upsample; fusion conv back in compute dtype
+        x = in1.astype(jnp.float32) + x.astype(jnp.float32)
         x = upsample_bilinear_align_corners(x, 2)
-        return OutputCvBlock(3, name="fusion")(x)
+        return OutputCvBlock(3, dtype=dt, name="fusion")(x).astype(jnp.float32)
 
 
 class DDnet(nn.Module):
@@ -140,6 +170,9 @@ class DDnet(nn.Module):
     """
 
     num_input_frames: int = 5
+    #: compute dtype for the three U-Nets' conv chains (None = fp32;
+    #: jnp.bfloat16 = bf16 compute with fp32 params/residuals/mixing)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, windows: Array) -> Array:
@@ -165,7 +198,7 @@ class DDnet(nn.Module):
         def cat(xs):
             return jnp.concatenate(xs, axis=0)
 
-        temp1 = DenBlock(out_ch=3, name="temp1")
+        temp1 = DenBlock(out_ch=3, dtype=self.dtype, name="temp1")
         x2 = temp1(
             cat([ones[0] * a[0, 0, 0], ones[1] * a[3, 0, 0], ones[2] * a[6, 0, 0]]),
             cat([ones[1] * a[1, 0, 0], ones[2] * a[4, 0, 0], ones[3] * a[7, 0, 0]]),
@@ -173,7 +206,7 @@ class DDnet(nn.Module):
         )
         x20, x21, x22 = x2[:n], x2[n : 2 * n], x2[2 * n :]
 
-        temp11 = DenBlock4ChBayer(name="temp11")
+        temp11 = DenBlock4ChBayer(dtype=self.dtype, name="temp11")
         y2 = temp11(
             cat([fours[0] * a2_n[0], fours[1] * a2_n[3], fours[2] * a2_n[6]]),
             cat([fours[1] * a2_n[1], fours[2] * a2_n[4], fours[3] * a2_n[7]]),
@@ -181,6 +214,6 @@ class DDnet(nn.Module):
         )
         y20, y21, y22 = y2[:n], y2[n : 2 * n], y2[2 * n :]
 
-        temp2 = DenBlock(out_ch=3, name="temp2")
+        temp2 = DenBlock(out_ch=3, dtype=self.dtype, name="temp2")
         out = temp2(cat([x20, y20]), cat([x21, y21]), cat([x22, y22]))
         return a3_n[0] * out[:n] + a3_n[1] * out[n:]

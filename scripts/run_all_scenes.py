@@ -129,7 +129,8 @@ def main(out_dir: str = "results/scenes", mode: str = "ffd", b: int = 8,
         import jax.numpy as jnp
         import pathlib
 
-        dd = DDnet()
+        # bf16 U-Nets: identical PSNR/SSIM, 21% faster (ab_ddnet_precision.py)
+        dd = DDnet(dtype=jnp.bfloat16)
         dd_vars = _load_weights(
             None, load_ddnet,
             lambda: dd.init(jax.random.PRNGKey(1),

@@ -217,7 +217,8 @@ def main(out_path: str = "RESULTS.md") -> None:
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
         from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
 
-        dd = DDnet()
+        # bf16 U-Nets: identical PSNR/SSIM, 21% faster (ab_ddnet_precision.py)
+        dd = DDnet(dtype=jnp.bfloat16)
         dvars = jax.device_put(load_checkpoint_variables(dd_path))
         dm = ddnet_demosaic(dd, dvars)
         cfg5 = ADMMConfig(sigma=(25 / 255, 12 / 255, 6 / 255), iters=(6, 6, 4),

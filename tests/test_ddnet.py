@@ -163,3 +163,22 @@ def test_ddnet_converter_drops_unused_inc():
     sd = {"temp1.inc.convblock.0.weight": np.zeros((90, 12, 3, 3), np.float32)}
     out = convert.ddnet_variables(sd)
     assert out["params"] == {}
+
+
+def test_ddnet_bf16_close_to_fp32(rng):
+    """DDnet(dtype=bf16) shares params with the fp32 module (conversion is
+    cast-only at apply time) and stays within bf16 rounding of fp32 —
+    the property the benchmark's bf16 demosaicker rides on."""
+    import jax
+
+    model = DDnet()
+    x = jnp.asarray(rng.random((1, 5, 16, 16, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    ref = model.apply(variables, x)
+    got = DDnet(dtype=jnp.bfloat16).apply(variables, x)
+    assert got.dtype == jnp.float32  # fp32 endpoints
+    # bf16 has ~3 decimal digits; the fp32 residual spine keeps the
+    # output near the center frame, so absolute error stays ~1e-2
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2)
+    assert float(jnp.abs(got - ref).mean()) < 5e-3
