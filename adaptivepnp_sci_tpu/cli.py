@@ -660,11 +660,13 @@ def main(argv=None) -> None:
     s.add_argument("--textured", action="store_true",
                    help="overlay drifting gratings/rectangles (harder scene)")
     s.add_argument("--style",
-                   choices=["smooth", "textured", "leaves", "photo"],
+                   choices=["smooth", "textured", "leaves", "photo", "photos"],
                    default=None,
                    help="scene statistics; 'leaves' = dead-leaves occlusion "
                         "model (natural-image statistics with motion), "
-                        "'photo' = real photograph under global camera pan")
+                        "'photo' = real photograph under global camera pan, "
+                        "'photos' = any bundled real photograph under a "
+                        "pan+zoom+roll similarity camera path")
     s.add_argument("--size", type=int, default=512)
     s.add_argument("--frames", type=int, default=8)
     s.add_argument("--n-meas", type=int, default=1)

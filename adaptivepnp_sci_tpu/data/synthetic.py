@@ -126,26 +126,38 @@ def _dead_leaves_video(b: int, h: int, w: int,
     return video
 
 
-_PHOTO_CACHE: dict[float, np.ndarray] = {}
+_PHOTO_CACHE: dict[tuple[str, float], np.ndarray] = {}
+
+#: Real photographs available in this environment (zero egress, no datasets):
+#: matplotlib's bundled grace_hopper portrait, and the IPOL FFDNet demo
+#: photograph (a stone village street — natural texture, depth edges,
+#: foliage) shipped in ``data/assets/`` (provenance: assets/README.md).
+PHOTO_SOURCES = ("hopper", "street")
 
 
-def _photo_source(scale: float = 1.0) -> np.ndarray:
-    """Decoded (and optionally upscaled) real photograph, cached per scale —
-    ``make_scene(style='photo', n_meas=N)`` and training-pool generation
-    call `_photo_video` repeatedly on the same base image."""
-    key = round(float(scale), 4)
+def _photo_source(scale: float = 1.0, name: str = "hopper") -> np.ndarray:
+    """Decoded (and optionally upscaled) real photograph, cached per
+    (name, scale) — ``make_scene(style='photo', n_meas=N)`` and training-pool
+    generation call `_photo_video` repeatedly on the same base images."""
+    key = (name, round(float(scale), 4))
     if key not in _PHOTO_CACHE:
-        import matplotlib
         from PIL import Image
         from scipy.ndimage import zoom
 
-        path = os.path.join(
-            matplotlib.get_data_path(), "sample_data", "grace_hopper.jpg"
-        )
-        img = np.asarray(Image.open(path), np.float32) / 255.0  # (600, 512, 3)
-        if key > 1.0:
+        if name == "hopper":
+            import matplotlib
+
+            path = os.path.join(
+                matplotlib.get_data_path(), "sample_data", "grace_hopper.jpg"
+            )
+        elif name == "street":
+            path = os.path.join(os.path.dirname(__file__), "assets", "street.png")
+        else:
+            raise ValueError(f"unknown photo source {name!r}; have {PHOTO_SOURCES}")
+        img = np.asarray(Image.open(path), np.float32) / 255.0
+        if key[1] > 1.0:
             img = np.stack(
-                [zoom(img[..., c], key, order=1) for c in range(3)], axis=-1
+                [zoom(img[..., c], key[1], order=1) for c in range(3)], axis=-1
             )
         _PHOTO_CACHE[key] = img
     return _PHOTO_CACHE[key]
@@ -189,6 +201,66 @@ def _photo_video(b: int, h: int, w: int, rng: np.random.Generator) -> np.ndarray
     return np.clip(video, 0.0, 1.0)
 
 
+def _photos_video(b: int, h: int, w: int, rng: np.random.Generator) -> np.ndarray:
+    """Multi-source real-photograph video with a full similarity camera model.
+
+    Extends ``_photo_video`` (kept unchanged for seed-reproducibility of the
+    shipped ``'photo'`` scenes) along two axes that matter for TRAINING
+    pools:
+
+    * the source photograph is drawn from :data:`PHOTO_SOURCES` — both real
+      photos available in this environment, not just the portrait;
+    * camera motion is a per-frame similarity transform (pan + slow zoom +
+      slow roll) instead of pure translation, so the optical flow is not a
+      single global vector and the temporal-fusion layers cannot reduce to
+      averaging along one direction.
+
+    This is the closest procedurally-generated stand-in for the reference's
+    DAVIS training video (real textures under real camera motion) available
+    without shipping a dataset.
+    """
+    from scipy.ndimage import map_coordinates
+
+    name = PHOTO_SOURCES[int(rng.integers(len(PHOTO_SOURCES)))]
+    img = _photo_source(name=name)
+    # Camera path: pan velocity (px/frame), zoom rate and roll rate per frame.
+    vy = float(rng.uniform(-3.0, 3.0))
+    vx = float(rng.uniform(-3.0, 3.0))
+    zoom_rate = float(rng.uniform(-0.008, 0.008))   # ±0.8 %/frame
+    roll_rate = float(rng.uniform(-0.008, 0.008))   # ±0.46°/frame
+    # Make sure the source comfortably contains the (rotated, zoomed-out)
+    # crop plus the pan travel; upscale if not.
+    margin = 1.3  # rotation/zoom-out slack on the crop diagonal
+    need = max(
+        margin * h + abs(vy) * (b - 1) + 2, margin * w + abs(vx) * (b - 1) + 2
+    )
+    s = max(need / img.shape[0], need / img.shape[1], 1.0)
+    if s > 1.0:
+        img = _photo_source(s, name=name)
+    ih, iw = img.shape[:2]
+    # random crop-center with slack for the pan travel
+    cy0 = float(rng.uniform(margin * h / 2, ih - margin * h / 2 - abs(vy) * (b - 1)))
+    cx0 = float(rng.uniform(margin * w / 2, iw - margin * w / 2 - abs(vx) * (b - 1)))
+    cy0 += abs(vy) * (b - 1) if vy < 0 else 0.0
+    cx0 += abs(vx) * (b - 1) if vx < 0 else 0.0
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    gy, gx = yy - (h - 1) / 2.0, xx - (w - 1) / 2.0  # crop-centered grid
+    video = np.empty((b, h, w, 3), np.float32)
+    for t in range(b):
+        theta = roll_rate * t
+        scale = (1.0 + zoom_rate) ** t
+        ct, st = np.cos(theta) / scale, np.sin(theta) / scale
+        sy = cy0 + vy * t + ct * gy - st * gx
+        sx = cx0 + vx * t + st * gy + ct * gx
+        coords = np.stack([sy, sx])
+        for c in range(3):
+            video[t, ..., c] = map_coordinates(
+                img[..., c], coords, order=1, mode="reflect"
+            )
+    return np.clip(video, 0.0, 1.0)
+
+
 def make_scene(
     b: int = 8,
     h: int = 512,
@@ -214,10 +286,13 @@ def make_scene(
     * ``'photo'`` — a REAL photograph (matplotlib's bundled
       ``grace_hopper.jpg``) under smooth global camera pan: true
       photographic statistics through the full acquisition model.
+    * ``'photos'`` — real photograph drawn from :data:`PHOTO_SOURCES`
+      (portrait + the IPOL street photo) under a similarity camera path
+      (pan + slow zoom + roll); the training-pool variant of ``'photo'``.
     """
     if style is None:
         style = "textured" if textured else "smooth"
-    if style not in ("smooth", "textured", "leaves", "photo"):
+    if style not in ("smooth", "textured", "leaves", "photo", "photos"):
         raise ValueError(f"unknown scene style {style!r}")
     rng = np.random.default_rng(seed)
     mask = (rng.random((b, h, w)) > 0.5).astype(np.float32)
@@ -232,6 +307,8 @@ def make_scene(
             rgb = _dead_leaves_video(b, h, w, rng)
         elif style == "photo":
             rgb = _photo_video(b, h, w, rng)
+        elif style == "photos":
+            rgb = _photos_video(b, h, w, rng)
         else:
             rgb = _smooth_video(b, h, w, rng)
         if style == "textured":

@@ -75,11 +75,13 @@ def synthetic_video_dataset(
     ``styles``: when given, each source video's scene family is drawn
     uniformly from this tuple — ``'smooth'`` (drifting blobs), ``'textured'``
     (blobs + gratings/rectangles), ``'leaves'`` (dead-leaves occlusion model,
-    natural-image statistics; see ``data/synthetic.make_scene``). Supersedes
-    the legacy ``textured`` flag. A denoiser trained only on smooth blobs
-    does not generalize to natural statistics (RESULTS.md dead-leaves row);
-    mixing ``'leaves'`` into the pool is the procedural stand-in for the
-    reference's DAVIS natural-video training.
+    natural-image statistics), ``'photo'``/``'photos'`` (REAL photographs
+    under camera motion — ``'photos'`` draws from all bundled photos with a
+    pan+zoom+roll similarity path; see ``data/synthetic.make_scene``).
+    Supersedes the legacy ``textured`` flag. A denoiser trained only on
+    smooth blobs does not generalize to natural statistics (RESULTS.md
+    dead-leaves row); mixing real-photo clips into the pool is the closest
+    available stand-in for the reference's DAVIS natural-video training.
 
     ``source_sizes``: when given, each clip is a random ``size``-square crop
     of a LARGER generated video whose side is drawn from this tuple (the
@@ -95,11 +97,12 @@ def synthetic_video_dataset(
     from adaptivepnp_sci_tpu.data.synthetic import (
         _dead_leaves_video,
         _photo_video,
+        _photos_video,
         _smooth_video,
         _texture_video,
     )
 
-    known = ("smooth", "textured", "leaves", "photo")
+    known = ("smooth", "textured", "leaves", "photo", "photos")
     if styles:
         bad = [s for s in styles if s not in known]
         if bad:
@@ -116,6 +119,8 @@ def synthetic_video_dataset(
             return _dead_leaves_video(length, s, s, rng)
         if style == "photo":
             return _photo_video(length, s, s, rng)
+        if style == "photos":
+            return _photos_video(length, s, s, rng)
         video = _smooth_video(length, s, s, rng)
         if style == "textured" or (
             style is None and textured and rng.random() < 0.5

@@ -124,3 +124,41 @@ def test_photo_scene_real_statistics():
     big = make_scene(b=2, h=640, w=640, seed=1, style="photo")
     assert big.orig_rgb.shape == (2, 640, 640, 3)
     assert big.orig_rgb.min() >= 0.0 and big.orig_rgb.max() <= 1.0
+
+
+def test_photos_style_multi_source_similarity_path():
+    """style='photos' (training-pool variant): draws from ALL bundled real
+    photographs and moves the camera on a similarity path (pan+zoom+roll) —
+    deterministic, in range, with real inter-frame motion; the legacy
+    'photo' rng stream stays untouched."""
+    import numpy as np
+
+    from adaptivepnp_sci_tpu.data.synthetic import PHOTO_SOURCES, _photo_source, make_scene
+
+    assert set(PHOTO_SOURCES) == {"hopper", "street"}
+    # both sources decode to [0,1] RGB
+    for name in PHOTO_SOURCES:
+        img = _photo_source(name=name)
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert 0.0 <= img.min() and img.max() <= 1.0
+
+    sc = make_scene(b=4, h=64, w=64, seed=3, style="photos")
+    assert sc.orig_rgb.shape == (4, 64, 64, 3)
+    assert sc.orig_rgb.min() >= 0.0 and sc.orig_rgb.max() <= 1.0
+    d = np.abs(sc.orig_rgb[1] - sc.orig_rgb[0]).mean()
+    assert d > 1e-4  # the camera actually moves
+    np.testing.assert_allclose(sc.meas, (sc.orig_bayer * sc.mask).sum(0), atol=1e-6)
+    sc2 = make_scene(b=4, h=64, w=64, seed=3, style="photos")
+    np.testing.assert_array_equal(sc.orig_rgb, sc2.orig_rgb)
+    # different seeds eventually draw the street photo too: over a few
+    # seeds the first-frame means must differ beyond a pan's worth
+    means = {round(float(make_scene(b=2, h=96, w=96, seed=s, style="photos")
+                         .orig_rgb.mean()), 2) for s in range(6)}
+    assert len(means) >= 2
+
+    from adaptivepnp_sci_tpu.train.datasets import synthetic_video_dataset
+
+    clips = synthetic_video_dataset(4, length=5, size=32, seed=7,
+                                    styles=("photos",))
+    assert clips.shape == (4, 5, 32, 32, 3)
+    assert clips.min() >= 0.0 and clips.max() <= 1.0
