@@ -340,7 +340,8 @@ def _cmd_synth(args) -> None:
 
     style = args.style or ("textured" if args.textured else "smooth")
     s = make_scene(b=args.frames, h=args.size, w=args.size, seed=args.seed,
-                   n_meas=args.n_meas, style=style)
+                   n_meas=args.n_meas, style=style,
+                   photo_source=args.photo_source)
     meas = s.meas if s.meas.ndim == 3 else s.meas[..., None]
     orig = s.orig_bayer if s.orig_bayer.ndim == 4 else s.orig_bayer[None]
     t, b, h, w = orig.shape
@@ -667,6 +668,8 @@ def main(argv=None) -> None:
                         "'photo' = real photograph under global camera pan, "
                         "'photos' = any bundled real photograph under a "
                         "pan+zoom+roll similarity camera path")
+    s.add_argument("--photo-source", choices=["hopper", "street"], default=None,
+                   help="which real photograph style='photo' pans over")
     s.add_argument("--size", type=int, default=512)
     s.add_argument("--frames", type=int, default=8)
     s.add_argument("--n-meas", type=int, default=1)

@@ -163,27 +163,29 @@ def _photo_source(scale: float = 1.0, name: str = "hopper") -> np.ndarray:
     return _PHOTO_CACHE[key]
 
 
-def _photo_video(b: int, h: int, w: int, rng: np.random.Generator) -> np.ndarray:
+def _photo_video(b: int, h: int, w: int, rng: np.random.Generator,
+                 source: str = "hopper") -> np.ndarray:
     """Real-photograph video: global subpixel camera pan over a real photo.
 
-    Uses matplotlib's bundled ``grace_hopper.jpg`` portrait — the only real
-    photograph shipped in this environment (zero egress, no dataset files).
-    Unlike the procedural families this carries true photographic statistics:
-    sensor texture, JPEG residue, real edges/shading. Motion is a smooth
-    global pan with per-frame subpixel displacement (bilinear resampling),
-    the camera-motion analogue of the reference's DAVIS scenes.
+    Defaults to matplotlib's bundled ``grace_hopper.jpg`` portrait (the
+    shipped ``'photo'`` scenes are seed-reproducible on it); ``source``
+    selects any entry of :data:`PHOTO_SOURCES`. Unlike the procedural
+    families this carries true photographic statistics: sensor texture,
+    JPEG residue, real edges/shading. Motion is a smooth global pan with
+    per-frame subpixel displacement (bilinear resampling), the
+    camera-motion analogue of the reference's DAVIS scenes.
     """
     from scipy.ndimage import map_coordinates
 
     # per-frame pan velocity (px/frame) + margin for the travel
     vy = float(rng.uniform(1.0, 3.0)) * (1 if rng.random() < 0.5 else -1)
     vx = float(rng.uniform(0.2, 1.0)) * (1 if rng.random() < 0.5 else -1)
-    img = _photo_source()
+    img = _photo_source(name=source)
     need_h = h + abs(vy) * (b - 1) + 2
     need_w = w + abs(vx) * (b - 1) + 2
     s = max(need_h / img.shape[0], need_w / img.shape[1], 1.0)
     if s > 1.0:
-        img = _photo_source(s)
+        img = _photo_source(s, name=source)
     y_slack = img.shape[0] - h - abs(vy) * (b - 1) - 1
     x_slack = img.shape[1] - w - abs(vx) * (b - 1) - 1
     y0 = float(rng.uniform(0, max(y_slack, 0))) + (abs(vy) * (b - 1) if vy < 0 else 0)
@@ -269,6 +271,7 @@ def make_scene(
     n_meas: int = 1,
     textured: bool = False,
     style: str | None = None,
+    photo_source: str | None = None,
 ) -> Scene:
     """Synthesize ``n_meas`` CACTI snapshots of a B-frame RGB video.
 
@@ -283,8 +286,9 @@ def make_scene(
       natural-image statistics (scale-invariant edges, heavy-tailed
       gradients), the closest stand-in for real captures available without
       shipping data.
-    * ``'photo'`` — a REAL photograph (matplotlib's bundled
-      ``grace_hopper.jpg``) under smooth global camera pan: true
+    * ``'photo'`` — a REAL photograph (``photo_source``: ``'hopper'`` =
+      matplotlib's bundled grace_hopper portrait, default; ``'street'`` =
+      the IPOL street photo) under smooth global camera pan: true
       photographic statistics through the full acquisition model.
     * ``'photos'`` — real photograph drawn from :data:`PHOTO_SOURCES`
       (portrait + the IPOL street photo) under a similarity camera path
@@ -306,7 +310,7 @@ def make_scene(
         if style == "leaves":
             rgb = _dead_leaves_video(b, h, w, rng)
         elif style == "photo":
-            rgb = _photo_video(b, h, w, rng)
+            rgb = _photo_video(b, h, w, rng, source=photo_source or "hopper")
         elif style == "photos":
             rgb = _photos_video(b, h, w, rng)
         else:

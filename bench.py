@@ -100,8 +100,11 @@ def main(mode: str = "flagship") -> None:
     res = reconstruct()
     finish(res)
 
+    # best-of-6: the axon tunnel adds up to ~0.4 s of dispatch jitter per
+    # run (ROADMAP "Performance bounds"); RESULTS.md rows are timed the
+    # same way
     times = []
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         res = reconstruct()
         finish(res)
