@@ -316,6 +316,26 @@ def _cmd_denoise(args) -> None:
         model = ffdnet_color()
         variables = load_ffdnet(args.ckpt)
         out = model.apply(variables, jnp.asarray(noisy), jnp.float32(sigma))
+    elif args.network == "ddnet":
+        # joint demosaick+denoise eval (the reference's standalone
+        # ``packages/DDnet/joint_test_fastdvdnet.py:108-140``): mosaic every
+        # NOISY frame, reconstruct RGB from the mosaics over mirror-padded
+        # 5-frame windows, min-max normalize (the script's normalization,
+        # `:127`), PSNR vs the clean sequence.
+        from adaptivepnp_sci_tpu.models.ddnet import DDnet
+        from adaptivepnp_sci_tpu.ops import bayer
+        from adaptivepnp_sci_tpu.solvers.priors import window_indices_mirror
+        from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
+
+        variables = load_checkpoint_variables(args.ckpt)
+        mosaics = bayer.mosaic(jnp.asarray(noisy))            # (B, H, W)
+        rgb_sparse = bayer.embed_rgb(mosaics)                 # (B, H, W, 3)
+        idx = window_indices_mirror(rgb_sparse.shape[0])
+        out = DDnet().apply(variables, rgb_sparse[idx])
+        out = (out - out.min()) / (out.max() - out.min())
+        # "noisy" input for the report = the sparse-RGB mosaic (as in the
+        # reference script's psnr_noisy)
+        noisy = np.asarray(rgb_sparse)
     else:
         from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
         from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
@@ -633,7 +653,11 @@ def main(argv=None) -> None:
     r.set_defaults(fn=_cmd_reconstruct)
 
     d = sub.add_parser("denoise", help="standalone denoiser test")
-    d.add_argument("--network", choices=["ffdnet", "fastdvd"], default="ffdnet")
+    d.add_argument("--network", choices=["ffdnet", "fastdvd", "ddnet"],
+                   default="ffdnet",
+                   help="ddnet = joint demosaick+denoise eval: mosaic the "
+                        "noisy frames first (packages/DDnet/"
+                        "joint_test_fastdvdnet.py semantics)")
     d.add_argument("--ckpt", required=True)
     d.add_argument("--data", default=None, help=".npy clean frames; default synthetic")
     d.add_argument("--sigma", type=float, default=25.0)

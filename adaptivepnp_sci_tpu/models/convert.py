@@ -166,6 +166,54 @@ def load_fastdvdnet(path: str) -> dict:
     return fastdvdnet_variables(load_torch_state_dict(path))
 
 
+def spatial_dncnn_variables(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Reference ``spatialDnCNN`` state dict -> Flax variables for
+    :class:`adaptivepnp_sci_tpu.models.fastdvdnet.SpatialDnCNN`.
+
+    Same block vocabulary as one FastDVDnet DenBlock, without the
+    ``temp{1,2}`` prefix (``packages/fastdvdnet/models.py:92-144``)."""
+    v = fastdvdnet_variables(
+        {"temp1." + k: val for k, val in state_dict.items()}
+    )
+    return {"params": v["params"]["temp1"],
+            "batch_stats": v["batch_stats"]["temp1"]}
+
+
+def pyramid_encoder_variables(state_dict: Mapping[str, np.ndarray]) -> dict:
+    """Reference pyramid ``encoder`` state dict -> Flax variables for
+    :class:`adaptivepnp_sci_tpu.models.ddnet.PyramidEncoder`
+    (``models/network_demosaicking.py:137-182``; all convs carry biases).
+
+    Torch path -> Flax scope: Sequential indices join with underscores
+    (``conv_first01.0`` -> ``conv_first01_0``), residual blocks
+    ``rbs.{i}.conv{1,2}`` -> ``rbs_{i}/conv{1,2}``; plain convs keep their
+    names."""
+    params: dict = {}
+
+    def put(path, leaf, value):
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        body = parts[:-1]
+        if body[0] == "rbs":
+            path = [f"rbs_{body[1]}", body[2]]
+        elif len(body) == 2:  # Sequential: conv_first01.0 etc.
+            path = [f"{body[0]}_{body[1]}"]
+        else:
+            path = [body[0]]
+        if leaf == "weight":
+            put(path, "kernel", conv_kernel(val))
+        else:
+            assert leaf == "bias", key
+            put(path, "bias", val)
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # DDnet: no-BN variant of the same Sequential layout
 # (models/network_demosaicking.py). The unused noise-map 'inc' blocks are

@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -217,3 +218,73 @@ class DDnet(nn.Module):
         temp2 = DenBlock(out_ch=3, dtype=self.dtype, name="temp2")
         out = temp2(cat([x20, y20]), cat([x21, y21]), cat([x22, y22]))
         return a3_n[0] * out[:n] + a3_n[1] * out[n:]
+
+
+class ResidualBlockNoBN(nn.Module):
+    """``x + conv2(relu(conv1(x)))`` with a 48-channel bottleneck — the
+    reference's dormant ``ResidualBlock_noBN``
+    (``models/network_demosaicking.py:126-136``; only used by the equally
+    dormant pyramid ``encoder`` below)."""
+
+    nf: int = 64
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = nn.relu(
+            nn.Conv(48, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
+        )
+        out = nn.Conv(self.nf, (3, 3), padding=((1, 1), (1, 1)),
+                      name="conv2")(out)
+        return x + out
+
+
+class PyramidEncoder(nn.Module):
+    """4x-downscaling pyramid feature encoder — the reference's dormant
+    ``encoder`` (``models/network_demosaicking.py:137-182``; defined in the
+    model file, never instantiated by any driver).
+
+    ``(N, H, W, 4)`` RGGB input -> ``(N, ceil(H/4), ceil(W/4), nf)``: two
+    stride-2 head stages, ``n_rb`` residual blocks, then a 3-level feature
+    pyramid (1x, 1/2, 1/4) merged by half-pixel bilinear upsampling
+    (torch ``F.interpolate(align_corners=False)`` semantics) and a 7x7
+    fusion conv. The reference's forward applies LeakyReLU(0.1) to head
+    Sequentials that already END in LeakyReLU — a double application that
+    scales negatives by 0.01, not 0.1; replicated exactly (it is not
+    idempotent).
+    """
+
+    nf: int = 64
+    n_rb: int = 5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        def lrelu(v: Array) -> Array:
+            return nn.leaky_relu(v, negative_slope=0.1)
+
+        def conv(v: Array, ch: int, name: str, k: int = 3, s: int = 1) -> Array:
+            p = k // 2
+            return nn.Conv(ch, (k, k), strides=(s, s),
+                           padding=((p, p), (p, p)), name=name)(v)
+
+        x = lrelu(conv(x, self.nf * 2, "conv_first01_0", s=2))
+        x = lrelu(lrelu(conv(x, self.nf, "conv_first01_2")))
+        x = lrelu(conv(x, self.nf * 2, "conv_first02_0", s=2))
+        x = lrelu(lrelu(conv(x, self.nf, "conv_first02_2")))
+
+        fea_lr = lrelu(conv(x, self.nf, "conv_first"))
+        for i in range(self.n_rb):
+            fea_lr = ResidualBlockNoBN(self.nf, name=f"rbs_{i}")(fea_lr)
+
+        d2 = lrelu(conv(fea_lr, self.nf, "d2_conv1", s=2))
+        d2 = lrelu(conv(d2, self.nf, "d2_conv2"))
+        d4 = lrelu(conv(d2, self.nf, "d4_conv1", s=2))
+        d4 = lrelu(conv(d4, self.nf, "d4_conv2"))
+
+        n, h, w, _ = fea_lr.shape
+
+        def up(v: Array) -> Array:
+            return jax.image.resize(v, (n, h, w, v.shape[-1]), "bilinear",
+                                    antialias=False)
+
+        out = jnp.concatenate([fea_lr, up(d2), up(d4)], axis=-1)
+        return lrelu(conv(out, self.nf, "py_conv", k=7))

@@ -283,3 +283,39 @@ class FastDVDnet(nn.Module):
         return self.triplet_stage2(
             jnp.roll(t1, 1, axis=0), t1, jnp.roll(t1, -1, axis=0), sigma
         )
+
+
+class SpatialDnCNN(nn.Module):
+    """Single-frame spatial U-Net denoiser — the reference's dormant
+    ``spatialDnCNN`` (``packages/fastdvdnet/models.py:92-144``; defined in
+    the model file but never placed on a driver path).
+
+    Same conv vocabulary as :class:`DenBlock` — a 1-frame grouped input
+    conv (30 intermediate channels), channels (32, 64, 128) down/up U-Net,
+    residual output ``in - f(in, sigma)``. Input ``(N, H, W, C)`` frames +
+    scalar/``(N,)`` sigma -> ``(N, H, W, C)``.
+    """
+
+    num_color_channels: int = 3
+    chs: tuple[int, int, int] = (32, 64, 128)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, sigma: Array, train: bool = False) -> Array:
+        n, h, w, _ = x.shape
+        noise_map = jnp.broadcast_to(
+            jnp.asarray(sigma, x.dtype).reshape(-1, 1, 1, 1), (n, h, w, 1)
+        )
+        inp = jnp.concatenate([x, noise_map], axis=-1)
+        if self.dtype is not None:
+            inp = inp.astype(self.dtype)
+        dt = self.dtype
+        x0 = InputCvBlock(1, self.chs[0], dtype=dt, name="inc")(inp, train)
+        x1 = DownBlock(self.chs[1], dtype=dt, name="downc0")(x0, train)
+        x2 = DownBlock(self.chs[2], dtype=dt, name="downc1")(x1, train)
+        x2 = UpBlock(self.chs[1], dtype=dt, name="upc2")(x2, train)
+        x1 = UpBlock(self.chs[0], dtype=dt, name="upc1")(x1 + x2, train)
+        out = OutputCvBlock(self.num_color_channels, dtype=dt,
+                            name="outc")(x0 + x1, train)
+        # fp32 residual regardless of compute dtype (same policy as DenBlock)
+        return x.astype(jnp.float32) - out.astype(jnp.float32)

@@ -197,3 +197,25 @@ def test_orig_real_layout_normalizer():
 
     assert _orig_real_to_tbhwc(np.zeros((h, w, 4, t * b)), t, h, w) is None
     assert _orig_real_to_tbhwc(v5, 3, h, w) is None  # TB not divisible by T
+
+
+def test_cli_denoise_ddnet_joint(tmp_path, capsys):
+    """`denoise --network ddnet` = the reference's joint mosaicked-sequence
+    eval (packages/DDnet/joint_test_fastdvdnet.py): mosaic the noisy frames,
+    joint demosaick+denoise, min-max normalize, PSNR vs clean."""
+    import jax
+    import jax.numpy as jnp
+
+    from adaptivepnp_sci_tpu.models.ddnet import DDnet
+    from adaptivepnp_sci_tpu.train.trainer import save_variables_npz
+
+    model = DDnet()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 5, 16, 16, 3)))
+    ckpt = str(tmp_path / "ddnet_rand.npz")
+    save_variables_npz(ckpt, variables)
+
+    main(["denoise", "--network", "ddnet", "--ckpt", ckpt,
+          "--sigma", "1.0", "--size", "32", "--seed", "1"])
+    out = capsys.readouterr().out
+    assert "denoised" in out

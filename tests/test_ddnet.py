@@ -182,3 +182,78 @@ def test_ddnet_bf16_close_to_fp32(rng):
     # output near the center frame, so absolute error stays ~1e-2
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2)
     assert float(jnp.abs(got - ref).mean()) < 5e-3
+
+
+class _TorchRBNoBN(tnn.Module):
+    def __init__(self, nf):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(nf, 48, 3, 1, 1, bias=True)
+        self.conv2 = tnn.Conv2d(48, nf, 3, 1, 1, bias=True)
+
+    def forward(self, x):
+        return x + self.conv2(torch.relu(self.conv1(x)))
+
+
+class _TorchPyramidEncoder(tnn.Module):
+    """Oracle for the reference's dormant pyramid `encoder`
+    (models/network_demosaicking.py:137-182), including its double-LeakyReLU
+    head applications."""
+
+    def __init__(self, nf=16, n_rb=2):
+        super().__init__()
+        lr = tnn.LeakyReLU(negative_slope=0.1, inplace=False)
+        self.conv_first01 = tnn.Sequential(
+            tnn.Conv2d(4, nf * 2, 3, 2, 1, bias=True), lr,
+            tnn.Conv2d(nf * 2, nf, 3, 1, 1, bias=True), lr,
+        )
+        self.conv_first02 = tnn.Sequential(
+            tnn.Conv2d(nf, nf * 2, 3, 2, 1, bias=True), lr,
+            tnn.Conv2d(nf * 2, nf, 3, 1, 1, bias=True), lr,
+        )
+        self.conv_first = tnn.Conv2d(nf, nf, 3, 1, 1, bias=True)
+        self.rbs = tnn.Sequential(*[_TorchRBNoBN(nf) for _ in range(n_rb)])
+        self.d2_conv1 = tnn.Conv2d(nf, nf, 3, 2, 1, bias=True)
+        self.d2_conv2 = tnn.Conv2d(nf, nf, 3, 1, 1, bias=True)
+        self.d4_conv1 = tnn.Conv2d(nf, nf, 3, 2, 1, bias=True)
+        self.d4_conv2 = tnn.Conv2d(nf, nf, 3, 1, 1, bias=True)
+        self.py_conv = tnn.Conv2d(nf * 3, nf, 7, 1, 3, bias=True)
+        self.lrelu = lr
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        x = self.lrelu(self.conv_first01(x))
+        x = self.lrelu(self.conv_first02(x))
+        fea = self.lrelu(self.conv_first(x))
+        fea_lr = self.rbs(fea)
+        fea_d2 = self.lrelu(self.d2_conv2(self.lrelu(self.d2_conv1(fea_lr))))
+        fea_d4 = self.lrelu(self.d4_conv2(self.lrelu(self.d4_conv1(fea_d2))))
+        size = (x.size()[-2], x.size()[-1])
+        fea_d2 = F.interpolate(fea_d2, size=size, mode="bilinear",
+                               align_corners=False)
+        fea_d4 = F.interpolate(fea_d4, size=size, mode="bilinear",
+                               align_corners=False)
+        out = torch.cat([fea_lr, fea_d2, fea_d4], 1)
+        return self.lrelu(self.py_conv(out))
+
+
+def test_pyramid_encoder_parity():
+    from adaptivepnp_sci_tpu.models.ddnet import PyramidEncoder
+
+    torch.manual_seed(5)
+    m = _TorchPyramidEncoder(nf=16, n_rb=2).eval()
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    variables = convert.pyramid_encoder_variables(sd)
+
+    rng = np.random.default_rng(7)
+    # odd spatial size: exercises the asymmetric stride-2 shapes and the
+    # half-pixel (align_corners=False) bilinear pyramid upsamples
+    x = rng.random((2, 17, 17, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+
+    got = PyramidEncoder(nf=16, n_rb=2).apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
+        rtol=1e-4, atol=1e-5,
+    )

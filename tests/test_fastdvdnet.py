@@ -215,3 +215,107 @@ def test_seq_circular_matches_per_window(torch_model):
     got = model.apply(variables, rgb, sigma, method="seq_circular")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+class _Wrap(tnn.Module):
+    def __init__(self, seq):
+        super().__init__()
+        self.convblock = seq
+
+    def forward(self, x):
+        return self.convblock(x)
+
+
+class _TorchSpatialDnCNN(tnn.Module):
+    """Oracle for the reference's dormant spatialDnCNN
+    (packages/fastdvdnet/models.py:92-144): single-frame U-Net, channels
+    (32, 64, 128), InputCvBlock(num_in_frames=1), residual in - f(in)."""
+
+    def __init__(self, c=3, chs=(32, 64, 128)):
+        super().__init__()
+        c0, c1, c2 = chs
+        self.inc = _Wrap(
+            tnn.Sequential(
+                tnn.Conv2d(c + 1, 30, 3, padding=1, bias=False),
+                tnn.BatchNorm2d(30),
+                tnn.ReLU(inplace=True),
+                tnn.Conv2d(30, c0, 3, padding=1, bias=False),
+                tnn.BatchNorm2d(c0),
+                tnn.ReLU(inplace=True),
+            )
+        )
+        self.downc0 = _Wrap(
+            tnn.Sequential(
+                tnn.Conv2d(c0, c1, 3, padding=1, stride=2, bias=False),
+                tnn.BatchNorm2d(c1),
+                tnn.ReLU(inplace=True),
+                _Wrap(_cvblock(c1, c1)),
+            )
+        )
+        self.downc1 = _Wrap(
+            tnn.Sequential(
+                tnn.Conv2d(c1, c2, 3, padding=1, stride=2, bias=False),
+                tnn.BatchNorm2d(c2),
+                tnn.ReLU(inplace=True),
+                _Wrap(_cvblock(c2, c2)),
+            )
+        )
+        self.upc2 = _Wrap(
+            tnn.Sequential(
+                _Wrap(_cvblock(c2, c2)),
+                tnn.Conv2d(c2, c1 * 4, 3, padding=1, bias=False),
+                tnn.PixelShuffle(2),
+            )
+        )
+        self.upc1 = _Wrap(
+            tnn.Sequential(
+                _Wrap(_cvblock(c1, c1)),
+                tnn.Conv2d(c1, c0 * 4, 3, padding=1, bias=False),
+                tnn.PixelShuffle(2),
+            )
+        )
+        self.outc = _Wrap(
+            tnn.Sequential(
+                tnn.Conv2d(c0, c0, 3, padding=1, bias=False),
+                tnn.BatchNorm2d(c0),
+                tnn.ReLU(inplace=True),
+                tnn.Conv2d(c0, c, 3, padding=1, bias=False),
+            )
+        )
+
+    def forward(self, in1, nm):
+        x0 = self.inc(torch.cat((in1, nm), dim=1))
+        x1 = self.downc0(x0)
+        x2 = self.downc1(x1)
+        x2 = self.upc2(x2)
+        x1 = self.upc1(x1 + x2)
+        x = self.outc(x0 + x1)
+        return in1 - x
+
+
+def test_spatial_dncnn_parity(rng):
+    from adaptivepnp_sci_tpu.models.fastdvdnet import SpatialDnCNN
+
+    torch.manual_seed(3)
+    m = _TorchSpatialDnCNN().eval()
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.normal_(0, 0.05)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: v.numpy() for k, v in m.state_dict().items()}
+    variables = convert.spatial_dncnn_variables(sd)
+
+    x = rng.random((2, 16, 16, 3), dtype=np.float32)
+    sigma = np.float32(25 / 255)
+    with torch.no_grad():
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        nm = torch.full((2, 1, 16, 16), float(sigma))
+        want = m(xt, nm).numpy()
+
+    got = SpatialDnCNN().apply(variables, jnp.asarray(x), jnp.asarray(sigma))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
+        rtol=1e-4, atol=1e-5,
+    )
