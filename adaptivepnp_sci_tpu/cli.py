@@ -311,9 +311,17 @@ def _cmd_denoise(args) -> None:
 
     if args.network == "ffdnet":
         from adaptivepnp_sci_tpu.models.convert import load_ffdnet
-        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color
+        from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color, ffdnet_gray
 
-        model = ffdnet_color()
+        if args.gray:
+            # reference test scripts' gray mode (test_ffdnet_ipol.py
+            # ``gray``): luminance average, nc=64/nb=15 network
+            if clean.ndim == 4 and clean.shape[-1] == 3:
+                clean = clean.mean(-1, keepdims=True)
+                noisy = noisy.mean(-1, keepdims=True)
+            model = ffdnet_gray()
+        else:
+            model = ffdnet_color()
         variables = load_ffdnet(args.ckpt)
         out = model.apply(variables, jnp.asarray(noisy), jnp.float32(sigma))
     elif args.network == "ddnet":
@@ -659,6 +667,9 @@ def main(argv=None) -> None:
                         "noisy frames first (packages/DDnet/"
                         "joint_test_fastdvdnet.py semantics)")
     d.add_argument("--ckpt", required=True)
+    d.add_argument("--gray", action="store_true",
+                   help="ffdnet only: grayscale mode (luminance average, "
+                        "nc=64/nb=15 network, model_zoo/ffdnet_gray.pth)")
     d.add_argument("--data", default=None, help=".npy clean frames; default synthetic")
     d.add_argument("--sigma", type=float, default=25.0)
     d.add_argument("--size", type=int, default=128)

@@ -219,3 +219,19 @@ def test_cli_denoise_ddnet_joint(tmp_path, capsys):
           "--sigma", "1.0", "--size", "32", "--seed", "1"])
     out = capsys.readouterr().out
     assert "denoised" in out
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/model_zoo/ffdnet_gray.pth"),
+    reason="reference gray checkpoint unavailable",
+)
+def test_cli_denoise_ffdnet_gray(capsys):
+    """`denoise --gray` = the reference test scripts' grayscale mode."""
+    main(["denoise", "--network", "ffdnet", "--gray", "--ckpt",
+          "/root/reference/model_zoo/ffdnet_gray.pth",
+          "--sigma", "25", "--size", "32", "--seed", "2"])
+    out = capsys.readouterr().out
+    assert "denoised" in out
+    denoised = float(out.split("denoised")[1].split("dB")[0])
+    noisy = float(out.split("noisy")[1].split("dB")[0])
+    assert denoised > noisy + 3  # the real gray weights actually denoise
