@@ -304,6 +304,15 @@ def _cmd_denoise(args) -> None:
 
         clean = synthetic_video_dataset(1, length=8, size=args.size,
                                         seed=args.seed)[0]
+    if args.gray:
+        if args.network != "ffdnet":
+            raise SystemExit("error: --gray is only supported with "
+                             "--network ffdnet")
+        # reference gray mode loads the GRAYSCALE image first and adds
+        # sigma-level noise to it (test_ffdnet_ipol.py:582) — converting
+        # after the noise add would leave sigma/sqrt(3) effective noise
+        if clean.ndim == 4 and clean.shape[-1] == 3:
+            clean = clean.mean(-1, keepdims=True)
     sigma = args.sigma / 255.0
     noisy = np.clip(clean + rng.normal(0, sigma, clean.shape), 0, 1).astype(
         np.float32
@@ -313,15 +322,8 @@ def _cmd_denoise(args) -> None:
         from adaptivepnp_sci_tpu.models.convert import load_ffdnet
         from adaptivepnp_sci_tpu.models.ffdnet import ffdnet_color, ffdnet_gray
 
-        if args.gray:
-            # reference test scripts' gray mode (test_ffdnet_ipol.py
-            # ``gray``): luminance average, nc=64/nb=15 network
-            if clean.ndim == 4 and clean.shape[-1] == 3:
-                clean = clean.mean(-1, keepdims=True)
-                noisy = noisy.mean(-1, keepdims=True)
-            model = ffdnet_gray()
-        else:
-            model = ffdnet_color()
+        # gray = the reference test scripts' grayscale mode (nc=64/nb=15)
+        model = ffdnet_gray() if args.gray else ffdnet_color()
         variables = load_ffdnet(args.ckpt)
         out = model.apply(variables, jnp.asarray(noisy), jnp.float32(sigma))
     elif args.network == "ddnet":
@@ -338,8 +340,16 @@ def _cmd_denoise(args) -> None:
         variables = load_checkpoint_variables(args.ckpt)
         mosaics = bayer.mosaic(jnp.asarray(noisy))            # (B, H, W)
         rgb_sparse = bayer.embed_rgb(mosaics)                 # (B, H, W, 3)
-        idx = window_indices_mirror(rgb_sparse.shape[0])
-        out = DDnet().apply(variables, rgb_sparse[idx])
+        # reflect-pad spatial dims to multiples of 4 for the two U-Net
+        # downsamplings, crop after (same scheme as ddnet_demosaic_param)
+        hh, ww = rgb_sparse.shape[1:3]
+        hp, wp = (-hh) % 4, (-ww) % 4
+        inp = rgb_sparse
+        if hp or wp:
+            inp = jnp.pad(inp, ((0, 0), (0, hp), (0, wp), (0, 0)),
+                          mode="reflect")
+        idx = window_indices_mirror(inp.shape[0])
+        out = DDnet().apply(variables, inp[idx])[:, :hh, :ww]
         out = (out - out.min()) / (out.max() - out.min())
         # "noisy" input for the report = the sparse-RGB mosaic (as in the
         # reference script's psnr_noisy)

@@ -215,8 +215,9 @@ def test_cli_denoise_ddnet_joint(tmp_path, capsys):
     ckpt = str(tmp_path / "ddnet_rand.npz")
     save_variables_npz(ckpt, variables)
 
+    # size 30: exercises the reflect-pad-to-/4 path (H,W % 4 != 0)
     main(["denoise", "--network", "ddnet", "--ckpt", ckpt,
-          "--sigma", "1.0", "--size", "32", "--seed", "1"])
+          "--sigma", "1.0", "--size", "30", "--seed", "1"])
     out = capsys.readouterr().out
     assert "denoised" in out
 
