@@ -310,13 +310,18 @@ def _cmd_denoise(args) -> None:
                              "--network ffdnet")
         # reference gray mode loads the GRAYSCALE image first and adds
         # sigma-level noise to it (test_ffdnet_ipol.py:582) — converting
-        # after the noise add would leave sigma/sqrt(3) effective noise
+        # after the noise add would leave sigma/sqrt(3) effective noise.
+        # cv2 BGR2GRAY = BT.601 weighted luma, not a plain channel mean.
         if clean.ndim == 4 and clean.shape[-1] == 3:
-            clean = clean.mean(-1, keepdims=True)
+            luma = np.array([0.299, 0.587, 0.114], np.float32)
+            clean = (clean @ luma)[..., None]
     sigma = args.sigma / 255.0
-    noisy = np.clip(clean + rng.normal(0, sigma, clean.shape), 0, 1).astype(
-        np.float32
-    )
+    noisy = (clean + rng.normal(0, sigma, clean.shape)).astype(np.float32)
+    if args.network != "ddnet":
+        # the ffdnet/fastdvd test scripts work on clipped noisy input; the
+        # DDnet joint eval feeds UNCLIPPED noise to the net
+        # (joint_test_fastdvdnet.py:108: seqn = seq + noise)
+        noisy = np.clip(noisy, 0, 1)
 
     if args.network == "ffdnet":
         from adaptivepnp_sci_tpu.models.convert import load_ffdnet
@@ -350,7 +355,9 @@ def _cmd_denoise(args) -> None:
                           mode="reflect")
         idx = window_indices_mirror(inp.shape[0])
         out = DDnet().apply(variables, inp[idx])[:, :hh, :ww]
-        out = (out - out.min()) / (out.max() - out.min())
+        # guard the denominator: a degenerate/constant output (broken
+        # checkpoint) must not turn the printed PSNR into NaN
+        out = (out - out.min()) / jnp.maximum(out.max() - out.min(), 1e-12)
         # "noisy" input for the report = the sparse-RGB mosaic (as in the
         # reference script's psnr_noisy)
         noisy = np.asarray(rgb_sparse)
@@ -364,8 +371,16 @@ def _cmd_denoise(args) -> None:
             variables, jnp.asarray(noisy), jnp.float32(sigma)
         )
     out = jnp.clip(out, 0, 1)
-    p_in = float(metrics.psnr(jnp.asarray(clean), jnp.asarray(noisy)))
-    p_out = float(metrics.psnr(jnp.asarray(clean), out))
+    if args.network == "ddnet":
+        # the reference joint eval reports batch_psnr — MEAN of per-frame
+        # PSNRs (packages/fastdvdnet/utils.py batch_psnr, used at
+        # joint_test_fastdvdnet.py:133-134) — not one global-MSE PSNR
+        p_in = float(metrics.psnr_per_frame(
+            jnp.asarray(clean), jnp.clip(jnp.asarray(noisy), 0, 1)).mean())
+        p_out = float(metrics.psnr_per_frame(jnp.asarray(clean), out).mean())
+    else:
+        p_in = float(metrics.psnr(jnp.asarray(clean), jnp.asarray(noisy)))
+        p_out = float(metrics.psnr(jnp.asarray(clean), out))
     print(f"sigma {args.sigma}: noisy {p_in:.2f} dB -> denoised {p_out:.2f} dB")
     if args.out:
         np.save(args.out, np.asarray(out))

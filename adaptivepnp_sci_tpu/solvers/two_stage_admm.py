@@ -69,6 +69,16 @@ class ADMMConfig:
     #: full steps at small sigma where fidelity matters. Extension beyond
     #: the reference.
     denoiser_relax: float | tuple[float, ...] = 1.0
+    #: measurement-consistency trust fallback (extension beyond the
+    #: reference, which always returns the LAST iterate): track the iterate
+    #: with the lowest measurement residual ||A(theta) - y||^2 through the
+    #: scan — the warm start included as candidate 0 — and return THAT.
+    #: Ground-truth-free, so legitimate at reconstruction time. Guards the
+    #: failure mode where an imperfect (regenerated-weights) denoiser prior
+    #: hallucinates and drags the iterate AWAY from the data manifold: the
+    #: result can then never be less measurement-consistent than its own
+    #: warm start. Default False = reference semantics.
+    select_best: bool = False
     #: replay the reference's ITERATION-1 dual-aliasing artifact exactly:
     #: the reference binds x/theta/x0 to one tensor (``dvp…online.py:87-89``)
     #: and its theta-update writes through that alias before the clip
@@ -236,10 +246,14 @@ def _build_runner(
                 return jnp.float32(0)
             return metrics.psnr(orig, bayer.unpack(theta))
 
+        def resid(theta):
+            # measurement residual of the CURRENT estimate (select_best)
+            return jnp.mean((physics.forward(theta, phi_p) - y_p) ** 2)
+
         if config.denoiser == "tv":
 
             def step(carry, inp):
-                x, theta, b = carry
+                x, theta, b, best_r, best_t = carry
                 _sigma, _flag, _k = inp
                 x = x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
                 xb = x + b / rho
@@ -247,21 +261,28 @@ def _build_runner(
                                 max_iter=config.tv_iters)
                 theta = jnp.clip(theta, 0.0, 1.0)
                 b = b + (x - theta)
-                return (x, theta, b), trace_psnr(theta)
+                if config.select_best:
+                    r = resid(theta)
+                    take = r < best_r
+                    best_r = jnp.where(take, r, best_r)
+                    best_t = jnp.where(take, theta, best_t)
+                return (x, theta, b, best_r, best_t), trace_psnr(theta)
 
-            init = (x0, x0, jnp.zeros_like(x0))
+            init = (x0, x0, jnp.zeros_like(x0), resid(x0), x0)
             xs = (
                 jnp.asarray(sigmas_np),
                 jnp.asarray(adapt_mask_np),
                 jnp.arange(total_iters),
             )
-            (x, theta, b), trace = jax.lax.scan(step, init, xs)
+            (x, theta, b, best_r, best_t), trace = jax.lax.scan(step, init, xs)
+            if config.select_best:
+                theta = best_t
             zero_rgb = jnp.zeros((n_frames, h, w, 3), jnp.float32)
             return theta, zero_rgb, trace, variables, opt_state, None, None
 
         def step_body(carry, inp, fire: bool):
             (x, theta, b, w_dual, xhat, variables, opt_state, key,
-             dm_vars, dm_opt) = carry
+             dm_vars, dm_opt, best) = carry
             sigma, k, relax_k = inp
 
             x = x_update(theta, b, y_p, phi_p, phi_s, rho, alpha)
@@ -328,9 +349,32 @@ def _build_runner(
             b = b + (x_for_dual - theta)
             w_dual = w_dual + (x_rgb - xhat)
 
+            if config.select_best:
+                best_r, best_t, best_x = best
+                r = resid(theta)
+                take = r < best_r
+                best = (
+                    jnp.where(take, r, best_r),
+                    jnp.where(take, theta, best_t),
+                    jnp.where(take, xhat, best_x),
+                )
+
             carry = (x, theta, b, w_dual, xhat, variables, opt_state, key,
-                     dm_vars, dm_opt)
+                     dm_vars, dm_opt, best)
             return carry, trace_psnr(theta)
+
+        if config.select_best:
+            # candidate 0 = the warm start itself (its RGB view through the
+            # initial demosaicker), so the returned iterate can never be less
+            # measurement-consistent than the solver's own stage-1 input
+            x0_rgb = (
+                dm_spec.apply(dm_variables, bayer.unpack(x0))
+                if dm_spec is not None
+                else dm(bayer.unpack(x0))
+            )
+            best0 = (resid(x0), x0, x0_rgb)
+        else:
+            best0 = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
 
         carry = (
             x0,
@@ -343,6 +387,7 @@ def _build_runner(
             key,
             dm_variables,
             dm_opt_state,
+            best0,
         )
 
         # The adaptation schedule is STATIC (precomputed host-side), so the
@@ -387,7 +432,9 @@ def _build_runner(
         trace = traces[0] if len(traces) == 1 else jnp.concatenate(traces)
 
         (x, theta, b, w_dual, xhat, variables, opt_state, key,
-         dm_variables, dm_opt_state) = carry
+         dm_variables, dm_opt_state, best) = carry
+        if config.select_best:
+            _, theta, xhat = best
         return theta, xhat, trace, variables, opt_state, dm_variables, dm_opt_state
 
     return jax.jit(run)

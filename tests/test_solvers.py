@@ -459,3 +459,48 @@ def test_denoiser_relax_per_stage(scene, tiny_ffdnet):
     assert not np.allclose(np.asarray(a.x_bayer), np.asarray(c.x_bayer))
     with pytest.raises(ValueError, match="relax stages"):
         two_stage_admm(scene.meas, scene.mask, mk((0.5,)), **kw)
+
+
+def test_select_best_never_below_warm_start(scene):
+    """The measurement-consistency fallback (ADMMConfig.select_best): with a
+    RANDOM-INIT denoiser that actively destroys the iterate, the returned
+    estimate stays at the warm start's quality (candidate 0), while the plain
+    reference semantics degrade far below it."""
+    from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+    from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+
+    model = FastDVDnet()
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 5, 8, 8, 3)), jnp.float32(0.1)
+    )
+    prior = fastdvd_prior(model)
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=20),
+                  orig_bayer=scene.orig_bayer)
+    warm_db = float(warm.psnr_per_frame.mean())
+    kw = dict(prior=prior, variables=variables, x0_bayer=warm.x_bayer,
+              orig_bayer=scene.orig_bayer)
+    plain = two_stage_admm(
+        scene.meas, scene.mask,
+        ADMMConfig(sigma=(30 / 255,), iters=(6,), denoiser="fastdvd"), **kw)
+    guarded = two_stage_admm(
+        scene.meas, scene.mask,
+        ADMMConfig(sigma=(30 / 255,), iters=(6,), denoiser="fastdvd",
+                   select_best=True), **kw)
+    assert float(plain.psnr_per_frame.mean()) < warm_db - 3.0
+    assert float(guarded.psnr_per_frame.mean()) >= warm_db - 0.05
+    # the guarded RGB output matches the selected Bayer iterate
+    np.testing.assert_allclose(
+        np.asarray(bayer.rggb_subsample(jnp.clip(guarded.x_rgb, 0, 1))),
+        np.asarray(bayer.pack(jnp.asarray(guarded.x_bayer))), atol=1e-5)
+
+
+def test_select_best_tv_path(scene):
+    """select_best on the TV branch: finite, and at least warm-start grade."""
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=20),
+                  orig_bayer=scene.orig_bayer)
+    res = two_stage_admm(
+        scene.meas, scene.mask,
+        ADMMConfig(sigma=(0.0,), iters=(8,), denoiser="tv", select_best=True),
+        x0_bayer=warm.x_bayer, orig_bayer=scene.orig_bayer)
+    assert float(res.psnr_per_frame.mean()) >= \
+        float(warm.psnr_per_frame.mean()) - 0.5
