@@ -1,16 +1,34 @@
-"""TV prox parity vs an independent NumPy implementation of Chambolle 2004.
+"""TV prox parity vs TWO independent NumPy implementations of Chambolle 2004.
 
-The oracle below follows the duality-based fixed-point iteration of
-A. Chambolle (JMIV 2004) with tau = 1/(2*ndim) and the relative-energy
-stopping rule — the same algorithm scikit-image ships — written directly
-from the paper so the JAX kernel is validated against an independent
-formulation.
+Oracle 1 (``numpy_tv_chambolle_2d``) follows the duality-based fixed-point
+iteration of A. Chambolle (JMIV 2004) with tau = 1/(2*ndim) and the
+relative-energy stopping rule — the same algorithm scikit-image ships —
+written directly from the paper, 2-D-specialized.
+
+Oracle 2 (``skimage_tv_chambolle_nd``) is a structurally faithful
+generic-ndim rendition of scikit-image's ``_denoise_tv_chambolle_nd``
+(published BSD-3 algorithm; skimage itself is not installable in this
+zero-egress environment): slice-tuple axis loops, in-place dual update
+order, iteration arithmetic carried in the INPUT dtype (skimage keeps
+float32 inputs in float32), and the exact energy bookkeeping. Two
+transcriptions with different decompositions guard against common-mode
+transcription bugs; ``tests/goldens/tv_chambolle_golden.npz`` pins the
+reference call pattern (weight=0.1, 5 iterations, channel-independent 2-D
+TV over the packed ``(H/2, W/2, B*4)`` cube — ``/root/reference/
+dvp_linear_inv_2_stage_ADMM_tensor_online.py:147-160,398-407``) as a
+committed golden array.
 """
+
+import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from adaptivepnp_sci_tpu.ops import tv
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
+                      "tv_chambolle_golden.npz")
 
 
 def numpy_tv_chambolle_2d(image, weight=0.1, eps=2.0e-4, max_iter=5):
@@ -44,6 +62,99 @@ def numpy_tv_chambolle_2d(image, weight=0.1, eps=2.0e-4, max_iter=5):
                 break
             e_prev = e
     return out
+
+
+def skimage_tv_chambolle_nd(image, weight=0.1, eps=2.0e-4, max_num_iter=200):
+    """Generic-ndim Chambolle fixed point, structured like scikit-image's
+    ``_denoise_tv_chambolle_nd`` (slice-tuple axis loops, in-place updates,
+    arithmetic in the input dtype). Second, independent oracle."""
+    ndim = image.ndim
+    p = np.zeros((ndim,) + image.shape, dtype=image.dtype)
+    g = np.zeros_like(p)
+    d = np.zeros_like(image)
+    e_init = e_previous = 0.0
+    i = 0
+    while i < max_num_iter:
+        if i > 0:
+            # d = divergence of the dual field p
+            d = -p.sum(0)
+            slices_d = [slice(None)] * ndim
+            slices_p = [slice(None)] * (ndim + 1)
+            for ax in range(ndim):
+                slices_d[ax] = slice(1, None)
+                slices_p[ax + 1] = slice(0, -1)
+                slices_p[0] = ax
+                d[tuple(slices_d)] += p[tuple(slices_p)]
+                slices_d[ax] = slice(None)
+                slices_p[ax + 1] = slice(None)
+            out = image + d
+        else:
+            out = image
+        e = (d ** 2).sum()
+        # g = forward-difference gradient of out
+        slices_g = [slice(None)] * (ndim + 1)
+        for ax in range(ndim):
+            slices_g[ax + 1] = slice(0, -1)
+            slices_g[0] = ax
+            g[tuple(slices_g)] = np.diff(out, axis=ax)
+            slices_g[ax + 1] = slice(None)
+        norm = np.sqrt((g ** 2).sum(axis=0))[np.newaxis, ...]
+        e += weight * norm.sum()
+        tau = 1.0 / (2.0 * ndim)
+        norm *= tau / weight
+        norm += 1.0
+        p -= tau * g
+        p /= norm
+        e /= float(image.size)
+        if i == 0:
+            e_init = e
+            e_previous = e
+        else:
+            if abs(e_previous - e) < eps * e_init:
+                break
+            e_previous = e
+        i += 1
+    return out
+
+
+def test_second_oracle_agrees_with_first(rng):
+    """The two independently-structured transcriptions must agree bit-tight
+    in float64 across iteration counts (incl. early-stop territory)."""
+    img = rng.random((20, 28))
+    for iters in (1, 2, 5, 40, 200):
+        a = numpy_tv_chambolle_2d(img, 0.1, max_iter=iters)
+        b = skimage_tv_chambolle_nd(img.astype(np.float64), 0.1,
+                                    max_num_iter=iters)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+
+
+def test_second_oracle_3d_vs_jax_kernel_channelwise(rng):
+    """ndim=3 exercises the generic slice machinery on a genuinely different
+    code path (tau=1/6); compare against nothing shared."""
+    vol = rng.random((6, 10, 10)).astype(np.float64)
+    out = skimage_tv_chambolle_nd(vol, 0.12, max_num_iter=8)
+    # sanity: 3-D TV reduced, fidelity bounded
+    def tv3(a):
+        return sum(np.abs(np.diff(a, axis=ax)).sum() for ax in range(3))
+    assert tv3(out) < tv3(vol)
+    assert np.abs(out - vol).max() < 1.0
+
+
+def test_golden_reference_call_pattern():
+    """Committed golden: the packed-cube channel-wise TV at the reference's
+    exact settings (float32, weight=0.1, 5 iters). Both the JAX kernel and
+    the generic-nd oracle must reproduce it."""
+    blob = np.load(GOLDEN)
+    cube, want = blob["cube"], blob["out"]
+    got = np.asarray(tv.tv_chambolle_multichannel(
+        jnp.asarray(cube), 0.1, max_iter=5))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+    # the nd oracle regenerates the golden (iteration-exact, same dtype)
+    regen = np.stack([
+        skimage_tv_chambolle_nd(cube[c], np.float32(0.1), max_num_iter=5)
+        for c in range(cube.shape[0])
+    ])
+    np.testing.assert_allclose(regen, want, rtol=1e-6, atol=1e-7)
 
 
 def test_tv2d_matches_numpy_oracle(rng):
