@@ -41,6 +41,8 @@ class ReconstructionOutput:
     psnr_all_iter: np.ndarray    # (T, iters)
     seconds_per_meas: list[float]
     variables: Any               # final (possibly adapted) denoiser variables
+    #: final in-scan-adapted demosaicker variables (``dm_in_scan`` runs)
+    dm_variables: Any = None
 
 
 def save_adapted_state(path: str, variables: Any, opt_state: Any = None) -> None:
@@ -150,8 +152,9 @@ def run_reconstruction(
     per tile, adaptation gradients pmean-shared across tiles). For scenes
     larger than one denoiser program comfortably handles (e.g. 1024²+).
     The pmean-shared adapted weights/optimizer state carry across
-    measurements as usual; incompatible with ``dm_update``/``dm_in_scan``
-    (the tiled solver has no demosaicker-state thread).
+    measurements as usual, and ``dm_update``/``dm_in_scan`` compose: the
+    in-scan demosaicker gradients are pmean-shared over the tile axis and
+    the single refined DDnet copy carries to the next measurement.
 
     With ``dm_update`` (the reference's dormant ``args.dm_update`` option),
     the DDnet demosaicker is self-consistency-adapted against the current
@@ -184,12 +187,6 @@ def run_reconstruction(
     opt_state = None
 
     dm_adapt = dm_opt = dm_spec = dm_opt_state = None
-    if tile is not None and (dm_in_scan or dm_update):
-        raise ValueError(
-            "tile mode does not compose with dm_update/dm_in_scan (the "
-            "tiled solver has no demosaicker-state thread); adapt the "
-            "demosaicker per measurement without tiling, or drop dm_update"
-        )
     if dm_update and dm_model is not None and dm_in_scan:
         from adaptivepnp_sci_tpu.solvers.two_stage_admm import make_dm_spec
 
@@ -234,6 +231,10 @@ def run_reconstruction(
                 scene.meas[t], scene.mask, config, tile=tile,
                 prior=prior, variables=variables, orig_bayer=orig,
                 demosaic_fn=demosaic_fn, x0_bayer=x0,
+                opt_state=opt_state,
+                dm_spec=dm_spec,
+                dm_variables=dm_variables if dm_spec else None,
+                dm_opt_state=dm_opt_state,
             )
         else:
             res = two_stage_admm(
@@ -265,4 +266,5 @@ def run_reconstruction(
     return ReconstructionOutput(
         np.stack(outs), np.stack(rgbs), np.stack(psnrs), np.stack(ssims),
         np.stack(traces), times, variables,
+        dm_variables if (dm_spec is not None or dm_adapt is not None) else None,
     )

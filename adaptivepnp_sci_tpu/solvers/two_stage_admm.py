@@ -615,6 +615,10 @@ def two_stage_admm_tiled(
     demosaic_fn: Callable | None = None,
     mesh=None,
     x0_bayer: Array | None = None,
+    opt_state: Any = None,
+    dm_spec: DmSpec | None = None,
+    dm_variables: Any = None,
+    dm_opt_state: Any = None,
 ) -> ADMMResult:
     """Large-scene mode: reconstruct one oversized measurement as a vmap
     batch of non-overlapping ``tile x tile`` patches, then stitch.
@@ -629,10 +633,19 @@ def two_stage_admm_tiled(
     tile axis is vmapped with an axis name and adaptation gradients are
     ``pmean``-ed over it every trigger (DP-style sync), so the returned
     ``variables`` are the single shared weights — not a per-tile stack.
+    ``dm_spec`` (in-scan DDnet adaptation, the reference's ``dm_update`` —
+    ``DDnet_test.py:239-293``) threads the same way: demosaicker gradients
+    are pmean-shared over the tile axis every iteration and the single
+    refined copy is returned in ``.dm_variables``/``.dm_opt_state``.
+
+    ``opt_state``/``dm_opt_state`` may be passed in to continue adaptation
+    across measurements (the drivers' ``reuse_model`` sequence carry,
+    ``two_stage_ADMM_Online_FFD_Warm.py:270-275``).
 
     ``mesh``: optional ``jax.sharding.Mesh`` with a ``'data'`` axis — the
     tile batch is placed with a ``P('data')`` sharding so XLA partitions the
-    vmap over chips (grad pmean becomes a real cross-chip all-reduce).
+    vmap over chips (grad/dm-grad pmean becomes a real cross-chip
+    all-reduce).
 
     ``x0_bayer``: full-size warm start ``(B, H, W)`` (GAP-TV, the
     reference's mandatory stage 1) — cropped into tiles. Without it each
@@ -653,6 +666,7 @@ def two_stage_admm_tiled(
     phi_t = jnp.moveaxis(phi_t, -1, 1)                       # (N, B, tile, tile)
 
     orig = jnp.asarray(orig_bayer) if orig_bayer is not None else None
+    orig_t = None
     if orig is not None:
         orig_t, _ = crop_patches(jnp.moveaxis(orig, 0, -1), tile)
         orig_t = jnp.moveaxis(orig_t, -1, 1)
@@ -664,15 +678,20 @@ def two_stage_admm_tiled(
         x0_t = jnp.moveaxis(x0_t, -1, 1)                 # (N, B, tile, tile)
 
     optimizer = None
-    opt_state = None
     do_adapt = config.adapt is not None and prior is not None
     if do_adapt:
         optimizer = _default_adam(first_lr(config.adapt))
-        opt_state = optimizer.init(variables["params"])
+        if opt_state is None:
+            opt_state = optimizer.init(variables["params"])
+    else:
+        opt_state = None
+    if dm_spec is not None and dm_opt_state is None:
+        dm_opt_state = dm_spec.optimizer.init(dm_variables)
 
-    grad_axis = "tile" if do_adapt else None
+    grad_axis = "tile" if (do_adapt or dm_spec is not None) else None
     runner = _build_runner(
-        config, prior, demosaic_fn, optimizer, orig is not None, grad_axis
+        config, prior, demosaic_fn, optimizer, orig is not None, grad_axis,
+        dm_spec,
     )
     keys = jax.random.split(jax.random.PRNGKey(0), y_t.shape[0])
 
@@ -683,40 +702,32 @@ def two_stage_admm_tiled(
         y_t = jax.device_put(y_t, tile_sharding)
         phi_t = jax.device_put(phi_t, tile_sharding)
         keys = jax.device_put(keys, tile_sharding)
-        if orig is not None:
+        if orig_t is not None:
             orig_t = jax.device_put(orig_t, tile_sharding)
         if x0_t is not None:
             x0_t = jax.device_put(x0_t, tile_sharding)
 
-    def one(y_i, phi_i, orig_i, key_i, x0_i=None):
+    def one(y_i, phi_i, orig_i, key_i, x0_i):
         if x0_i is None:
             x0 = physics.adjoint(bayer.pack(y_i), bayer.pack(phi_i))
         else:
             x0 = bayer.pack(x0_i)
-        return runner(y_i, phi_i, x0, orig_i, variables, opt_state, key_i)[:5]
+        return runner(y_i, phi_i, x0, orig_i, variables, opt_state, key_i,
+                      dm_variables, dm_opt_state)
 
-    in_orig = orig_t if orig is not None else None
-    if in_orig is not None and x0_t is not None:
-        theta, xhat, trace, out_vars, out_opt = jax.vmap(
-            one, axis_name=grad_axis
-        )(y_t, phi_t, in_orig, keys, x0_t)
-    elif in_orig is not None:
-        theta, xhat, trace, out_vars, out_opt = jax.vmap(
-            one, axis_name=grad_axis
-        )(y_t, phi_t, in_orig, keys)
-    elif x0_t is not None:
-        theta, xhat, trace, out_vars, out_opt = jax.vmap(
-            lambda a, b, k, x: one(a, b, None, k, x), axis_name=grad_axis
-        )(y_t, phi_t, keys, x0_t)
-    else:
-        theta, xhat, trace, out_vars, out_opt = jax.vmap(
-            lambda a, b, k: one(a, b, None, k), axis_name=grad_axis
-        )(y_t, phi_t, keys)
+    # None arguments are empty pytrees: vmap maps over no leaves for them,
+    # so one vmap covers every orig/x0 presence combination
+    (theta, xhat, trace, out_vars, out_opt, out_dm, out_dm_opt) = jax.vmap(
+        one, axis_name=grad_axis
+    )(y_t, phi_t, orig_t, keys, x0_t)
     if do_adapt:
         # grads were pmean-synced, so every tile carries identical weights:
         # return the single shared copy
         out_vars = jax.tree_util.tree_map(lambda x: x[0], out_vars)
         out_opt = jax.tree_util.tree_map(lambda x: x[0], out_opt)
+    if dm_spec is not None:
+        out_dm = jax.tree_util.tree_map(lambda x: x[0], out_dm)
+        out_dm_opt = jax.tree_util.tree_map(lambda x: x[0], out_dm_opt)
 
     x_bayer_t = jax.vmap(bayer.unpack)(theta)  # (N, B, tile, tile)
     x_bayer = jnp.moveaxis(
@@ -736,7 +747,8 @@ def two_stage_admm_tiled(
     else:
         p = s = jnp.zeros((nb,), jnp.float32)
         trace = trace[0] * 0
-    return ADMMResult(x_rgb, x_bayer, p, s, trace, out_vars, out_opt)
+    return ADMMResult(x_rgb, x_bayer, p, s, trace, out_vars, out_opt,
+                      out_dm, out_dm_opt)
 
 
 def two_stage_admm_batched(

@@ -253,3 +253,105 @@ def test_dm_spec_invalid_configs_raise():
             ADMMConfig(sigma=(0.1,), iters=(1,), denoiser="tv"),
             dm_spec=spec, dm_variables=dm_vars,
         )
+
+
+def test_tiled_dm_in_scan_matches_single_tile_on_identical_tiles():
+    """Tiled + in-scan dm adaptation (VERDICT r3 item 3): dm gradients are
+    pmean-shared over the tile axis, so on a scene of 4 identical tiles the
+    pmean is a no-op and the tiled run must reproduce the single-tile run —
+    refined dm weights AND the reconstruction, tile for tile."""
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+        ADMMConfig,
+        make_dm_spec,
+        two_stage_admm,
+        two_stage_admm_tiled,
+    )
+
+    s = make_scene(b=4, h=16, w=16, seed=31)
+    den = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    den_vars = den.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.float32(0.1))
+    dd, dd_vars = _tiny_ddnet()
+    spec = make_dm_spec(dd, lr=1e-3, update_per_iter=1)
+    config = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+                        use_pallas=False)
+
+    y2 = np.tile(np.asarray(s.meas), (2, 2))
+    phi2 = np.tile(np.asarray(s.mask), (1, 2, 2))
+
+    tiled = two_stage_admm_tiled(
+        y2, phi2, config, tile=16, prior=ffdnet_prior(den),
+        variables=den_vars, dm_spec=spec, dm_variables=dd_vars,
+    )
+    single = two_stage_admm(
+        s.meas, s.mask, config, prior=ffdnet_prior(den), variables=den_vars,
+        dm_spec=spec, dm_variables=dd_vars,
+    )
+    # refined dm weights: single shared copy == the untiled trajectory
+    got = jax.tree_util.tree_leaves(tiled.dm_variables)
+    want = jax.tree_util.tree_leaves(single.dm_variables)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert a.shape == b.shape  # collapsed, not tile-stacked
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    # adaptation fired (weights moved off the init)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(got, jax.tree_util.tree_leaves(dd_vars))
+    )
+    # and each tile reproduces the single-tile reconstruction
+    np.testing.assert_allclose(
+        np.asarray(tiled.x_bayer[:, :16, :16]), np.asarray(single.x_bayer),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled.x_bayer[:, 16:, 16:]), np.asarray(single.x_bayer),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_tiled_dm_sequence_carry_through_pipeline():
+    """run_reconstruction(tile=..., dm_in_scan=True): the tiled flagship +
+    deep-demosaicking mode runs over a 2-measurement scene with the refined
+    dm weights carried across measurements (reuse_model)."""
+    from adaptivepnp_sci_tpu.data.mat_io import SceneData
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.pipelines import run_reconstruction
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import ADMMConfig
+    from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+
+    s = make_scene(b=4, h=32, w=32, seed=32, n_meas=2)
+    scene = SceneData(
+        name="seqcarry",
+        meas=np.transpose(np.asarray(s.meas), (2, 0, 1)).astype(np.float32),
+        mask=np.asarray(s.mask, np.float32),
+        orig_bayer=np.asarray(s.orig_bayer, np.float32),
+    )
+    den = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    den_vars = den.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                        jnp.float32(0.1))
+    dd, dd_vars = _tiny_ddnet()
+    config = ADMMConfig(
+        sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+        use_pallas=False,
+        adapt=AdaptConfig(lr=1e-4, update_per_iter=1, interval_iter=2,
+                          initial_iter=0),
+    )
+    out = run_reconstruction(
+        scene, ffdnet_prior(den), den_vars, config=config,
+        dm_model=dd, dm_variables=dd_vars, dm_update=True, dm_in_scan=True,
+        dm_lr=1e-3, tile=16,
+    )
+    assert out.x_bayer.shape == (2, 4, 32, 32)
+    assert np.isfinite(out.x_bayer).all()
+    # dm weights refined through BOTH measurements (carry alive)
+    assert out.dm_variables is not None
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(out.dm_variables),
+                        jax.tree_util.tree_leaves(dd_vars))
+    )
