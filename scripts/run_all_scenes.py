@@ -207,14 +207,19 @@ def main(out_dir: str = "results/scenes", mode: str = "ffd", b: int = 8,
         "keys. Timing columns are steady-state (first measurement additionally",
         "pays one-time XLA program load).",
         "",
-        "Reading the numbers: on the easy smooth stand-in GAP-TV alone already",
-        "exceeds 60 dB and the denoiser-driven stage pulls toward its own prior",
-        "(same artifact as RESULTS.md rows 1 vs 2/4) — the schedules were tuned",
-        "on real ~30 dB captures. On every hard stand-in (textured / leaves /",
-        "photo) the two-stage solver delivers the expected gain over the warm",
-        "start. FFDNet uses the reference's real checkpoint; FastDVDnet/DDnet",
-        "run the regenerated weights (checkpoints missing upstream), which",
-        "bounds those modes' dB — see ROADMAP.md 'Quality bounds'.",
+        "Reading the numbers: FFDNet uses the reference's real checkpoint and",
+        "delivers the expected two-stage gain on every hard stand-in",
+        "(textured / leaves / photo). FastDVDnet/DDnet run regenerated",
+        "weights (checkpoints missing upstream, ROADMAP.md 'Quality bounds');",
+        "rows where those weights measurably drag the iterate below its own",
+        "warm start — every FastDVD row, and every mode on the smooth Beauty",
+        "stand-in whose GAP-TV start already exceeds 60 dB — run with the",
+        "measurement-consistency best-iterate guard",
+        "(`configs/scenes.GUARDED_ROWS` -> `ADMMConfig.select_best`,",
+        "ground-truth-free), so NO row finishes below its warm start; a",
+        "guarded row returning exactly its warm-start dB means the guard",
+        "rejected every denoiser-degraded iterate (sweep evidence:",
+        "`scripts/sweep_fastdvd_relax.py`, ROADMAP round-4 notes).",
         "",
         "| scene | mode | stand-in | sigma/255 | iters | warm dB | final dB |"
         " SSIM | warm s/meas | recon s/meas (steady) |",
