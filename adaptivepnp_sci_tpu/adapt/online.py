@@ -58,6 +58,15 @@ class AdaptConfig:
     when set, only matching parameters receive updates — the reference's
     dormant ``fix`` mode that fine-tunes ``temp2`` only
     (``test_fastdvdnet.py:365-373``).
+
+    ``crop``: optional side length — compute each trigger's measurement
+    loss on a random even-aligned ``crop x crop`` window of the frame
+    instead of the full resolution (extension beyond the reference, which
+    adapts on the full frame — ``test_ffdnet_ipol.py:263-294``). The loss
+    is a global MSE through a pixel-separable forward model, so any
+    Bayer-phase-aligned crop is an unbiased estimator of it; the fwd+bwd
+    denoiser pass then costs ``(crop/H)*(crop/W)`` of the full-frame
+    adaptation. A/B on the flagship in AB_RESULTS.md.
     """
 
     lr: float | tuple[float, ...] = 2e-6
@@ -67,6 +76,7 @@ class AdaptConfig:
     update_times: int = -1  # -1 = unlimited
     fresh_opt_per_trigger: bool = True
     trainable_filter: tuple[str, ...] | None = None
+    crop: int | None = None
 
 
 def resolve_stages(adapt: AdaptConfig) -> tuple[tuple[float, int], ...]:
@@ -250,6 +260,28 @@ def make_adapt_fn(
             else:
                 raise ValueError(f"unknown adapt_mask mode {mode!r}")
             rgb_in = win[0]
+        if adapt_cfg.crop is not None:
+            # loss on a random Bayer-phase-aligned crop: slice the frame
+            # cube AND the measurement/masks consistently (the forward
+            # model is pixel-separable, so the cropped MSE is an unbiased
+            # estimator of the full-frame loss at (crop/H)(crop/W) cost)
+            c = int(adapt_cfg.crop)
+            b_n, h, w = phi_f.shape
+            if c % 2 or h % 2 or w % 2:
+                raise ValueError(f"crop/frame dims must be even, got "
+                                 f"crop={c} frame=({h},{w})")
+            if c > h or c > w:
+                raise ValueError(f"crop {c} exceeds frame ({h},{w})")
+            key, sub = jax.random.split(key)
+            oy = jax.random.randint(sub, (), 0, (h - c) // 2 + 1) * 2
+            key, sub = jax.random.split(key)
+            ox = jax.random.randint(sub, (), 0, (w - c) // 2 + 1) * 2
+            rgb_in = jax.lax.dynamic_slice(
+                rgb_in, (0, oy, ox, 0), (rgb_in.shape[0], c, c, 3))
+            y_f = jax.lax.dynamic_slice(y_f, (oy, ox), (c, c))
+            phi_f = jax.lax.dynamic_slice(phi_f, (0, oy, ox), (b_n, c, c))
+            y_p = bayer.pack(y_f)
+            phi_p = bayer.pack(phi_f)
         base_loss = measurement_loss_fn(prior, rgb_in, sigma, y_p, phi_p, y_f, phi_f)
         frozen = {k: v for k, v in variables.items() if k != "params"}
         trainable = variables["params"]

@@ -291,3 +291,56 @@ def test_segmented_schedule_lr0_matches_no_adapt(scene, interval, initial):
     np.testing.assert_array_equal(
         np.asarray(res.psnr_trace), np.asarray(ref.psnr_trace)
     )
+
+
+def test_adapt_crop_full_size_is_exact():
+    """AdaptConfig.crop == frame size: the only possible offset is 0 and the
+    'crop' is the whole frame — weights must be BIT-IDENTICAL to crop=None
+    (guards slicing/packing consistency of the crop path)."""
+    import numpy as np
+    from adaptivepnp_sci_tpu.data.synthetic import make_scene
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.solvers import ADMMConfig, two_stage_admm
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+
+    sc = make_scene(b=4, h=32, w=32, seed=11)
+    model = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.float32(0.1))
+    prior = ffdnet_prior(model)
+    kw = dict(prior=prior, variables=variables)
+
+    def run(crop):
+        cfg = ADMMConfig(
+            sigma=(25 / 255,), iters=(4,), denoiser="ffdnet",
+            use_pallas=False,
+            adapt=AdaptConfig(lr=1e-4, update_per_iter=1, interval_iter=2,
+                              initial_iter=0, crop=crop))
+        return two_stage_admm(jnp.asarray(sc.meas), jnp.asarray(sc.mask),
+                              cfg, **kw)
+
+    full = run(None)
+    crop_full = run(32)
+    for a, b in zip(jax.tree_util.tree_leaves(full.variables["params"]),
+                    jax.tree_util.tree_leaves(crop_full.variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(full.x_bayer),
+                                  np.asarray(crop_full.x_bayer))
+
+    # half-size crop: still adapts (weights move), output stays finite and
+    # in the same quality regime as full-frame adaptation
+    crop_half = run(16)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                        jax.tree_util.tree_leaves(
+                            crop_half.variables["params"]))
+    )
+    assert np.isfinite(np.asarray(crop_half.x_bayer)).all()
+    assert abs(float(crop_half.psnr_per_frame.mean())
+               - float(full.psnr_per_frame.mean())) < 1.0
+
+    with pytest.raises(ValueError, match="crop"):
+        run(64)
+    with pytest.raises(ValueError, match="even"):
+        run(15)
