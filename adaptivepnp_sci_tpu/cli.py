@@ -374,9 +374,10 @@ def _cmd_denoise(args) -> None:
     if args.network == "ddnet":
         # the reference joint eval reports batch_psnr — MEAN of per-frame
         # PSNRs (packages/fastdvdnet/utils.py batch_psnr, used at
-        # joint_test_fastdvdnet.py:133-134) — not one global-MSE PSNR
+        # joint_test_fastdvdnet.py:133-134) — not one global-MSE PSNR.
+        # psnr_noisy is computed on the UNCLIPPED noisy input (:134).
         p_in = float(metrics.psnr_per_frame(
-            jnp.asarray(clean), jnp.clip(jnp.asarray(noisy), 0, 1)).mean())
+            jnp.asarray(clean), jnp.asarray(noisy)).mean())
         p_out = float(metrics.psnr_per_frame(jnp.asarray(clean), out).mean())
     else:
         p_in = float(metrics.psnr(jnp.asarray(clean), jnp.asarray(noisy)))

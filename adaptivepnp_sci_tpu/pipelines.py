@@ -235,6 +235,7 @@ def run_reconstruction(
                 dm_spec=dm_spec,
                 dm_variables=dm_variables if dm_spec else None,
                 dm_opt_state=dm_opt_state,
+                key=jax.random.PRNGKey(t),
             )
         else:
             res = two_stage_admm(

@@ -268,7 +268,13 @@ def _build_runner(
                     best_t = jnp.where(take, theta, best_t)
                 return (x, theta, b, best_r, best_t), trace_psnr(theta)
 
-            init = (x0, x0, jnp.zeros_like(x0), resid(x0), x0)
+            if config.select_best:
+                init = (x0, x0, jnp.zeros_like(x0), resid(x0), x0)
+            else:
+                # scalar placeholders: no forward-model eval, no full-size
+                # pass-through array in the scan carry
+                init = (x0, x0, jnp.zeros_like(x0), jnp.float32(0),
+                        jnp.float32(0))
             xs = (
                 jnp.asarray(sigmas_np),
                 jnp.asarray(adapt_mask_np),
@@ -619,6 +625,7 @@ def two_stage_admm_tiled(
     dm_spec: DmSpec | None = None,
     dm_variables: Any = None,
     dm_opt_state: Any = None,
+    key: Array | None = None,
 ) -> ADMMResult:
     """Large-scene mode: reconstruct one oversized measurement as a vmap
     batch of non-overlapping ``tile x tile`` patches, then stitch.
@@ -693,7 +700,11 @@ def two_stage_admm_tiled(
         config, prior, demosaic_fn, optimizer, orig is not None, grad_axis,
         dm_spec,
     )
-    keys = jax.random.split(jax.random.PRNGKey(0), y_t.shape[0])
+    # per-measurement key so a carried SEQUENCE of tiled solves draws fresh
+    # adaptation randomness (crop offsets / input noise) each measurement
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, y_t.shape[0])
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -720,14 +731,13 @@ def two_stage_admm_tiled(
     (theta, xhat, trace, out_vars, out_opt, out_dm, out_dm_opt) = jax.vmap(
         one, axis_name=grad_axis
     )(y_t, phi_t, orig_t, keys, x0_t)
-    if do_adapt:
-        # grads were pmean-synced, so every tile carries identical weights:
-        # return the single shared copy
-        out_vars = jax.tree_util.tree_map(lambda x: x[0], out_vars)
-        out_opt = jax.tree_util.tree_map(lambda x: x[0], out_opt)
-    if dm_spec is not None:
-        out_dm = jax.tree_util.tree_map(lambda x: x[0], out_dm)
-        out_dm_opt = jax.tree_util.tree_map(lambda x: x[0], out_dm_opt)
+    # every tile carries identical weights — pmean-synced when adapting,
+    # vmap-broadcast copies of the inputs otherwise — so ALWAYS return the
+    # single shared copy (a tile-stacked pytree carried to the next
+    # measurement by run_reconstruction would crash the denoiser apply)
+    first = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)  # noqa: E731
+    out_vars, out_opt = first(out_vars), first(out_opt)
+    out_dm, out_dm_opt = first(out_dm), first(out_dm_opt)
 
     x_bayer_t = jax.vmap(bayer.unpack)(theta)  # (N, B, tile, tile)
     x_bayer = jnp.moveaxis(

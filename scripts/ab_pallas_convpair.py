@@ -180,6 +180,8 @@ def main(c: int = 64, hw: int = 256, n: int = 8, th: int = 128) -> None:
     err = float(jnp.max(jnp.abs(got.astype(jnp.float32) -
                                 ref.astype(jnp.float32))))
     scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) or 1.0
+    # correctness gate BEFORE any timing verdict is recorded (bf16-level)
+    assert err / scale < 2e-2, f"fused kernel wrong: rel err {err/scale:.2e}"
     gb = 2 * x.size * 2 / 1e9  # one read + one write, bf16
     flops = 2 * 2 * n * hw * hw * c * c * 9
     print(f"C={c} {hw}^2 N={n} tile={th}: XLA pair {t_xla*1e3:.3f} ms, "

@@ -54,8 +54,11 @@ def main(scenes: list[str]) -> None:
         row = [f"| {name} | {style} | {warm.psnr.mean():.2f} "]
         results = {}
         for r in RELAXES:
+            # select_best=False: the relax arms must measure the UNGUARDED
+            # baseline (admm_config_for injects the guard for FastDVD rows
+            # via GUARDED_ROWS since round 4)
             cfg = replace(admm_config_for(name, "fastdvd", False, True),
-                          denoiser_relax=r)
+                          denoiser_relax=r, select_best=False)
             out = run_reconstruction(
                 scene, prior, variables, denoiser="fastdvd",
                 warm_start=warm.x_bayer, config=cfg,

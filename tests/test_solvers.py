@@ -504,3 +504,24 @@ def test_select_best_tv_path(scene):
         x0_bayer=warm.x_bayer, orig_bayer=scene.orig_bayer)
     assert float(res.psnr_per_frame.mean()) >= \
         float(warm.psnr_per_frame.mean()) - 0.5
+
+
+def test_tiled_no_adapt_returns_unstacked_variables(scene, tiny_ffdnet):
+    """With adaptation OFF the tiled solver must still return ONE weight
+    copy (vmap would otherwise broadcast a tile-stacked pytree, which
+    run_reconstruction carries into the next measurement and crashes the
+    denoiser apply)."""
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_tiled
+
+    model, variables = tiny_ffdnet
+    config = ADMMConfig(sigma=(25 / 255,), iters=(2,), denoiser="ffdnet")
+    res = two_stage_admm_tiled(
+        scene.meas, scene.mask, config, tile=16,
+        prior=ffdnet_prior(model), variables=variables,
+    )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(res.variables["params"]),
+        jax.tree_util.tree_leaves(variables["params"]),
+    ):
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
