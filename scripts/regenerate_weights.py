@@ -7,7 +7,7 @@ synthetic benchmark scenes — weights are distribution-matched to the
 benchmarks here and functional stand-ins elsewhere; the converters accept
 upstream checkpoints whenever real ones are available.
 
-Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters] [n_clips] [clip_size] [styles]
+Usage: python scripts/regenerate_weights.py [fastdvd|ddnet] [steps] [textured] [lipschitz_weight] [spectral_weight] [out_dir] [spectral_target] [spectral_iters] [n_clips] [clip_size] [styles] [video_dir]
 ``styles`` is a comma-separated scene-family mix (e.g. ``smooth,leaves``)
 forwarded to ``synthetic_video_dataset`` — mixing ``leaves`` (dead-leaves
 natural statistics) is the procedural stand-in for DAVIS training.
@@ -32,7 +32,8 @@ def main(network: str, steps: int, textured: bool = False,
          lipschitz: float = 0.0, spectral: float = 0.0,
          out_dir: str | None = None, spectral_target: float = 1.0,
          spectral_iters: int = 2, n_clips: int = 0,
-         clip_size: int = 64, styles: tuple[str, ...] | None = None) -> None:
+         clip_size: int = 64, styles: tuple[str, ...] | None = None,
+         video_dir: str | None = None) -> None:
     # Data stays device-resident: per-step batch gathers run on-chip instead
     # of re-uploading ~8MB over the (possibly remote) host link every step.
     # NOTE: defaults reproduce the shipped weights. Textured data / longer
@@ -49,11 +50,18 @@ def main(network: str, steps: int, textured: bool = False,
     # 4x-8x smaller features — a scale mismatch that destabilizes the PnP
     # loop at 512px; see synthetic_video_dataset docstring)
     src = (256, 512) if n_clips else None
-    clips = jax.device_put(jnp.asarray(
-        synthetic_video_dataset(n, length=5, size=clip_size, seed=123,
-                                textured=textured, source_sizes=src,
-                                styles=styles)
-    ))
+    if video_dir is not None:
+        # REAL video data (e.g. DAVIS whenever available): the reference's
+        # DALI ingestion contract via first-party cv2 decode
+        from adaptivepnp_sci_tpu.data.video import video_clip_dataset
+
+        pool = video_clip_dataset(video_dir, n, length=5, size=clip_size,
+                                  seed=123)
+    else:
+        pool = synthetic_video_dataset(n, length=5, size=clip_size, seed=123,
+                                       textured=textured, source_sizes=src,
+                                       styles=styles)
+    clips = jax.device_put(jnp.asarray(pool))
     key = jax.random.PRNGKey(0)
     if network == "fastdvd":
         from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
@@ -103,4 +111,5 @@ if __name__ == "__main__":
         n_clips=int(sys.argv[9]) if len(sys.argv) > 9 else 0,
         clip_size=int(sys.argv[10]) if len(sys.argv) > 10 else 64,
         styles=tuple(sys.argv[11].split(",")) if len(sys.argv) > 11 else None,
+        video_dir=sys.argv[12] if len(sys.argv) > 12 else None,
     )
