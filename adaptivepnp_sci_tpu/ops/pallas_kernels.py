@@ -142,11 +142,26 @@ def _tv_plane_kernel(img_ref, out_ref, *, weight: float, eps: float,
     out_ref[0] = jax.lax.while_loop(cond, step, init)[3]
 
 
+#: the plane kernel keeps ~8 fp32 plane-size buffers live through the
+#: while_loop (img, py, px, out, gy/gx/norm temporaries); planes beyond
+#: this budget must take the HBM-streaming jnp path instead of VMEM-OOMing
+#: at compile time (hit at 1024² packed planes = a 2048² scene).
+_TV_PLANE_VMEM_BUDGET = 14 * 2**20
+
+
 def tv_chambolle_fused(x: Array, weight: float = 0.1, eps: float = 2.0e-4,
                        max_iter: int = 5, interpret: bool = False) -> Array:
-    """Pallas-fused channel-wise 2-D TV prox over ``(..., H, W)``."""
+    """Pallas-fused channel-wise 2-D TV prox over ``(..., H, W)``.
+
+    Planes too large for the in-VMEM fixed point (>~14MB of live buffers)
+    fall back to :func:`ops.tv.tv_chambolle_multichannel` — identical
+    semantics, HBM-streaming."""
     lead = x.shape[:-2]
     h, w = x.shape[-2:]
+    if h * w * 4 * 8 > _TV_PLANE_VMEM_BUDGET:
+        from adaptivepnp_sci_tpu.ops import tv
+
+        return tv.tv_chambolle_multichannel(x, weight, eps, max_iter)
     flat = x.reshape((-1, h, w)).astype(jnp.float32)
     n = flat.shape[0]
     spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

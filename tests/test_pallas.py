@@ -63,3 +63,22 @@ def test_fused_tv_matches_jnp(rng):
     got = pallas_kernels.tv_chambolle_fused(x, 0.1, max_iter=5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tv_fused_large_plane_falls_back(rng):
+    """Planes beyond the VMEM budget must route to the jnp path (the Pallas
+    fixed point holds ~8 plane buffers; 1024^2 fp32 planes VMEM-OOM at
+    compile time — hit by a 2048^2 scene's warm start) and stay
+    semantically identical."""
+    from adaptivepnp_sci_tpu.ops import tv
+    from adaptivepnp_sci_tpu.ops.pallas_kernels import (
+        _TV_PLANE_VMEM_BUDGET,
+        tv_chambolle_fused,
+    )
+
+    h = w = 768  # 768^2*4*8 = 18.9MB > budget -> fallback path
+    assert h * w * 4 * 8 > _TV_PLANE_VMEM_BUDGET
+    x = jnp.asarray(rng.random((2, h, w), dtype=np.float32))
+    got = tv_chambolle_fused(x, 0.1, max_iter=2)
+    want = tv.tv_chambolle_multichannel(x, 0.1, max_iter=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
