@@ -165,9 +165,12 @@ def _cmd_reconstruct(args) -> None:
     )
 
     config = None
-    if args.adapt_carried_opt or args.adapt_lr or args.adapt_update_per_iter \
-            or args.trainable_filter:
-        # override the per-scene table's adaptation fields
+    adapt_flags = (args.adapt_carried_opt or args.adapt_lr
+                   or args.adapt_update_per_iter or args.trainable_filter
+                   or args.adapt_crop)
+    solver_flags = (args.select_best is not None or args.relax)
+    if adapt_flags or solver_flags:
+        # override the per-scene table's fields
         import dataclasses
 
         from adaptivepnp_sci_tpu.configs.scenes import admm_config_for
@@ -176,7 +179,7 @@ def _cmd_reconstruct(args) -> None:
             scene.name, args.denoiser, args.deep_demosaicking,
             not args.no_update,
         )
-        if config.adapt is None:
+        if adapt_flags and config.adapt is None:
             raise SystemExit(
                 "error: adaptation overrides given but the selected config "
                 "has no adaptation (did you pass --no-update?)"
@@ -192,9 +195,20 @@ def _cmd_reconstruct(args) -> None:
             over["update_per_iter"] = ns[0] if len(ns) == 1 else ns
         if args.trainable_filter:
             over["trainable_filter"] = tuple(args.trainable_filter.split(","))
-        config = dataclasses.replace(
-            config, adapt=dataclasses.replace(config.adapt, **over)
-        )
+        if args.adapt_crop:
+            over["crop"] = args.adapt_crop
+        if over:
+            config = dataclasses.replace(
+                config, adapt=dataclasses.replace(config.adapt, **over)
+            )
+        solver_over = {}
+        if args.select_best is not None:
+            solver_over["select_best"] = args.select_best
+        if args.relax:
+            rs = tuple(float(v) for v in args.relax.split(","))
+            solver_over["denoiser_relax"] = rs[0] if len(rs) == 1 else rs
+        if solver_over:
+            config = dataclasses.replace(config, **solver_over)
 
     out = run_reconstruction(
         scene, prior, variables,
@@ -674,6 +688,20 @@ def main(argv=None) -> None:
                    help="comma-separated parameter-path substrings to "
                         "fine-tune (e.g. 'temp2' for the reference's fix "
                         "mode, test_fastdvdnet.py:365-373); others frozen")
+    r.add_argument("--adapt-crop", type=int, default=None,
+                   help="adaptation loss on a Bayer-aligned random NxN crop "
+                        "(unbiased estimator at (N/H)(N/W) of the fwd+bwd "
+                        "cost; measured PSNR-neutral, AB_RESULTS.md)")
+    r.add_argument("--select-best", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="measurement-consistency best-iterate guard: return "
+                        "the iterate (warm start included) with the lowest "
+                        "||A(x)-y||^2 instead of the last one. Default: the "
+                        "scene table's per-row setting (GUARDED_ROWS)")
+    r.add_argument("--relax", default=None,
+                   help="relaxed denoiser step xhat=(1-r)x+rD(x); "
+                        "comma-separated for a per-sigma-stage schedule "
+                        "(extension; RESULTS.md row 3b)")
     r.add_argument("--no-update", action="store_true")
     r.add_argument("--no-reuse-model", action="store_true")
     r.add_argument("--bf16", action="store_true",

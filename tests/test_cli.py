@@ -318,3 +318,41 @@ def test_cli_serve_stress_mixed_shapes_and_corrupt_files(tmp_path, capsys):
         # synth/handmade files carry ground truth: PSNR must be real
         assert f"{f} -> " in out
     assert out.count("PSNR") >= len(good)
+
+
+def test_cli_reconstruct_solver_override_flags(tmp_path, scene_mat, capsys):
+    """--select-best / --relax / --adapt-crop reach the solver config."""
+    warm = str(tmp_path / "warm.mat")
+    main(["warmstart", "--data", scene_mat, "--out", warm, "--iters", "8"])
+    capsys.readouterr()
+    base = ["reconstruct", "--data", scene_mat, "--warm", warm,
+            "--name", "Beauty", "--denoiser", "ffdnet"]
+    base += (["--ckpt", FFD_CKPT] if os.path.exists(FFD_CKPT)
+             else ["--random-init"])
+
+    out1 = str(tmp_path / "r1.mat")
+    main(base + ["--out", out1, "--no-select-best", "--relax", "0.5",
+                 "--adapt-crop", "16"])
+    assert "PSNR" in capsys.readouterr().out
+
+    out2 = str(tmp_path / "r2.mat")
+    main(base + ["--out", out2, "--no-select-best"])
+    capsys.readouterr()
+    a = sio.loadmat(out1)["v_recon_bayer"]
+    b = sio.loadmat(out2)["v_recon_bayer"]
+    assert np.isfinite(a).all()
+    assert not np.array_equal(a, b)  # relax actually changed the solve
+
+    # --select-best on the guarded Beauty row with a random denoiser must
+    # return (approximately) the warm start
+    if not os.path.exists(FFD_CKPT):
+        return
+    out3 = str(tmp_path / "r3.mat")
+    main(["reconstruct", "--data", scene_mat, "--warm", warm,
+          "--name", "Beauty", "--denoiser", "ffdnet", "--random-init",
+          "--select-best", "--out", out3])
+    capsys.readouterr()
+    import scipy.io as _sio
+    ws = _sio.loadmat(warm)["v_Admm_tv_denoise"]
+    got = sio.loadmat(out3)["v_recon_bayer"]
+    np.testing.assert_allclose(got, ws, atol=1e-4)
