@@ -56,6 +56,28 @@ def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
     return np.stack(frames).astype(np.float32) / 255.0
 
 
+def write_video(path: str, frames: np.ndarray, fps: float = 30.0) -> None:
+    """Encode ``(T, H, W, 3)`` RGB float [0,1] (or uint8) frames to a video
+    file — the role of the reference's ffmpeg-subprocess ``im2videos.py``
+    (jpg folders -> mp4 for DALI), here via cv2's built-in encoders.
+    ``.avi`` selects MJPG (always available without an ffmpeg binary);
+    other extensions use mp4v and require a cv2 build with that codec."""
+    import cv2
+
+    if frames.dtype != np.uint8:
+        frames = np.clip(np.asarray(frames, np.float32) * 255, 0,
+                         255).astype(np.uint8)
+    t, h, w = frames.shape[:3]
+    fourcc = "MJPG" if path.lower().endswith(".avi") else "mp4v"
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h))
+    if not wr.isOpened():
+        raise OSError(f"cv2 cannot open {path!r} for writing "
+                      f"(codec {fourcc})")
+    for f in frames:
+        wr.write(f[..., ::-1])  # RGB -> BGR
+    wr.release()
+
+
 def video_clip_dataset(
     root: str,
     n_clips: int,

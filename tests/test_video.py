@@ -105,3 +105,22 @@ def test_clips_train_a_step(video_dir):
                       TrainerConfig(lr=1e-3, steps_per_epoch=2, seed=0))
     losses = trainer.fit(batch_iterator(clips, 4, seed=0), max_steps=2)
     assert np.isfinite(losses).all()
+
+
+def test_write_video_roundtrip(tmp_path):
+    """write_video (the im2videos.py role) -> read_video round trip."""
+    from adaptivepnp_sci_tpu.data.video import read_video, write_video
+
+    # smooth low-frequency content: JPEG-family codecs destroy full-res
+    # noise (measured 0.16 mean error), so a gradient scene bounds the
+    # round trip meaningfully
+    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
+    base = np.stack([yy / 48, xx / 64, (yy + xx) / 112], -1)[None]
+    frames = np.clip(base * 0.7 +
+                     np.linspace(0, 0.3, 6)[:, None, None, None], 0, 1
+                     ).astype(np.float32)
+    path = str(tmp_path / "clip.avi")
+    write_video(path, frames, fps=10)
+    back = read_video(path)
+    assert back.shape == frames.shape
+    assert float(np.abs(back - frames).mean()) < 0.06  # MJPG lossy bound
