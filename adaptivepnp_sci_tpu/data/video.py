@@ -37,8 +37,11 @@ def list_videos(root: str) -> list[str]:
     return out
 
 
-def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
-    """Decode a video to ``(T, H, W, 3)`` float32 RGB in [0, 1]."""
+def read_video(path: str, max_frames: int | None = None,
+               dtype=np.float32) -> np.ndarray:
+    """Decode a video to ``(T, H, W, 3)`` RGB — float32 in [0, 1] by
+    default; ``dtype=np.uint8`` keeps the raw bytes (4x smaller, the
+    clip-pool staging path)."""
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -53,7 +56,26 @@ def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
     cap.release()
     if not frames:
         raise OSError(f"no decodable frames in {path!r}")
-    return np.stack(frames).astype(np.float32) / 255.0
+    out = np.stack(frames)
+    if np.dtype(dtype) == np.uint8:
+        return out
+    return out.astype(np.float32) / 255.0
+
+
+def video_meta(path: str) -> tuple[int, int, int]:
+    """``(frames, height, width)`` from container metadata WITHOUT decoding
+    (cv2 CAP_PROP values; some containers report 0/garbage — callers must
+    treat non-positive values as unknown)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise OSError(f"cv2 cannot open video {path!r}")
+    t = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    cap.release()
+    return t, h, w
 
 
 def write_video(path: str, frames: np.ndarray, fps: float = 30.0) -> None:
@@ -102,7 +124,14 @@ def video_clip_dataset(
     videos = []
     windows: list[tuple[int, int]] = []  # (video_idx, start_frame)
     for path in list_videos(root):
-        v = read_video(path, max_frames_per_video)
+        # container metadata rules out too-small/too-short files before
+        # paying a full decode (non-positive props = unknown -> decode)
+        mt, mh, mw = video_meta(path)
+        if (0 < mt < length) or (0 < mh < size) or (0 < mw < size):
+            continue
+        # pool stays uint8 until the per-clip crop: a real-video corpus
+        # (e.g. DAVIS) fully decoded as float32 would not fit host RAM
+        v = read_video(path, max_frames_per_video, dtype=np.uint8)
         t, h, w = v.shape[:3]
         if t < length or h < size or w < size:
             continue
@@ -123,5 +152,6 @@ def video_clip_dataset(
         # (dataloaders.py:76: crop_pos uniforms are per-sequence)
         y = int(rng.integers(v.shape[1] - size + 1))
         x = int(rng.integers(v.shape[2] - size + 1))
-        clips[i] = v[s : s + length, y : y + size, x : x + size]
+        crop = v[s : s + length, y : y + size, x : x + size]
+        clips[i] = crop.astype(np.float32) / 255.0
     return clips
