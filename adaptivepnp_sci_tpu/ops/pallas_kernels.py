@@ -143,9 +143,12 @@ def _tv_plane_kernel(img_ref, out_ref, *, weight: float, eps: float,
 
 
 #: the plane kernel keeps ~8 fp32 plane-size buffers live through the
-#: while_loop (img, py, px, out, gy/gx/norm temporaries); planes beyond
-#: this budget must take the HBM-streaming jnp path instead of VMEM-OOMing
-#: at compile time (hit at 1024² packed planes = a 2048² scene).
+#: while_loop (img, py, px, out, gy/gx/norm temporaries), and pallas_call
+#: double-buffers the input and output blocks across the grid (+2 more
+#: planes, like the explicit "x2 buffers" term in ``_pick_tiles``); planes
+#: beyond this budget must take the HBM-streaming jnp path instead of
+#: VMEM-OOMing at compile time (hit at 1024² packed planes = a 2048² scene).
+_TV_PLANE_LIVE_BUFFERS = 10
 _TV_PLANE_VMEM_BUDGET = 14 * 2**20
 
 
@@ -158,7 +161,7 @@ def tv_chambolle_fused(x: Array, weight: float = 0.1, eps: float = 2.0e-4,
     semantics, HBM-streaming."""
     lead = x.shape[:-2]
     h, w = x.shape[-2:]
-    if h * w * 4 * 8 > _TV_PLANE_VMEM_BUDGET:
+    if h * w * 4 * _TV_PLANE_LIVE_BUFFERS > _TV_PLANE_VMEM_BUDGET:
         from adaptivepnp_sci_tpu.ops import tv
 
         return tv.tv_chambolle_multichannel(x, weight, eps, max_iter)

@@ -72,12 +72,13 @@ def test_tv_fused_large_plane_falls_back(rng):
     semantically identical."""
     from adaptivepnp_sci_tpu.ops import tv
     from adaptivepnp_sci_tpu.ops.pallas_kernels import (
+        _TV_PLANE_LIVE_BUFFERS,
         _TV_PLANE_VMEM_BUDGET,
         tv_chambolle_fused,
     )
 
-    h = w = 768  # 768^2*4*8 = 18.9MB > budget -> fallback path
-    assert h * w * 4 * 8 > _TV_PLANE_VMEM_BUDGET
+    h = w = 768  # 768^2*4*10 = 23.6MB > budget -> fallback path
+    assert h * w * 4 * _TV_PLANE_LIVE_BUFFERS > _TV_PLANE_VMEM_BUDGET
     x = jnp.asarray(rng.random((2, h, w), dtype=np.float32))
     got = tv_chambolle_fused(x, 0.1, max_iter=2)
     want = tv.tv_chambolle_multichannel(x, 0.1, max_iter=2)
