@@ -53,6 +53,8 @@ def fastdvd_task(
     spectral_penalty: float = 0.0,
     spectral_iters: int = 2,
     spectral_target: float = 1.0,
+    teacher: Callable[[Array, Array], Array] | None = None,
+    distill_weight: float = 1.0,
 ) -> TrainTask:
     """``demosaic_aug`` passes half the inputs through mosaic->Malvar before
     noising: inside the PnP solver the denoiser sees demosaicked ADMM
@@ -85,6 +87,20 @@ def fastdvd_task(
     enlarging the pool (regenerate_weights n_clips=4096) fixes stability
     with no penalty at all (see ROADMAP.md). Kept for diagnostics and for
     genuinely small-data regimes.
+
+    ``teacher``: distillation target ``(noisy_center, sigma) -> x_hat``
+    (e.g. the real-weight FFDNet applied per frame). MSE-to-clean on
+    procedural clips teaches the net to invert THIS generator — the
+    measured cause of the in-loop hallucination on non-smooth scenes
+    (ROADMAP 'Quality bounds'): clean targets on sharp-edged styles make
+    the operator expansive off-manifold. A teacher with real natural-image
+    weights provides targets that encode its natural-image prior AND its
+    contraction behavior on any input style, so mixed-style pools become
+    trainable. ``distill_weight`` in [0,1] blends the losses:
+    ``(1-w)*MSE(out, clean_center) + w*MSE(out, teacher(noisy_center))``.
+    The teacher sees the SAME conditioning sigma as the student (including
+    the mismatched-sigma fraction), mirroring how the PnP loop conditions
+    both operators from the same schedule.
     """
 
     def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
@@ -120,6 +136,11 @@ def fastdvd_task(
         )
         center = clips[:, clips.shape[1] // 2]
         loss = jnp.mean((out - center) ** 2) / 2.0
+        if teacher is not None:
+            t_out = jax.lax.stop_gradient(
+                teacher(noisy[:, noisy.shape[1] // 2], sigma))
+            loss = (1.0 - distill_weight) * loss + distill_weight * (
+                jnp.mean((out - t_out) ** 2) / 2.0)
         if lipschitz_penalty > 0:
             k7, k8 = jax.random.split(jax.random.fold_in(key, 7))
             delta = 0.02 * jax.random.normal(k7, noisy.shape, noisy.dtype)

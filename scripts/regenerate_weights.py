@@ -53,6 +53,11 @@ def main(network: str, steps: int, textured: bool = False,
     if video_dir is not None:
         # REAL video data (e.g. DAVIS whenever available): the reference's
         # DALI ingestion contract via first-party cv2 decode
+        if textured or styles:
+            raise SystemExit(
+                "video_dir supplies the training data; textured/styles "
+                "configure the synthetic pool only — pass '0' and '-' for "
+                "those positions when training from video files")
         from adaptivepnp_sci_tpu.data.video import video_clip_dataset
 
         pool = video_clip_dataset(video_dir, n, length=5, size=clip_size,
@@ -110,6 +115,9 @@ if __name__ == "__main__":
         spectral_iters=int(sys.argv[8]) if len(sys.argv) > 8 else 2,
         n_clips=int(sys.argv[9]) if len(sys.argv) > 9 else 0,
         clip_size=int(sys.argv[10]) if len(sys.argv) > 10 else 64,
-        styles=tuple(sys.argv[11].split(",")) if len(sys.argv) > 11 else None,
+        # '-'/''/'none' = placeholder to reach the video_dir position
+        styles=(tuple(sys.argv[11].split(","))
+                if len(sys.argv) > 11 and sys.argv[11] not in ("-", "", "none")
+                else None),
         video_dir=sys.argv[12] if len(sys.argv) > 12 else None,
     )

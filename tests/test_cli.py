@@ -352,7 +352,6 @@ def test_cli_reconstruct_solver_override_flags(tmp_path, scene_mat, capsys):
           "--name", "Beauty", "--denoiser", "ffdnet", "--random-init",
           "--select-best", "--out", out3])
     capsys.readouterr()
-    import scipy.io as _sio
-    ws = _sio.loadmat(warm)["v_Admm_tv_denoise"]
+    ws = sio.loadmat(warm)["v_Admm_tv_denoise"]
     got = sio.loadmat(out3)["v_recon_bayer"]
     np.testing.assert_allclose(got, ws, atol=1e-4)

@@ -95,6 +95,34 @@ def test_fastdvd_training_step_updates_bn_stats():
                for a, b in zip(before, after))
 
 
+def test_fastdvd_distillation_loss_blend():
+    """``teacher`` swaps the target: w=0 reproduces the plain clean-target
+    loss exactly; w=1 is pure teacher-matching and must differ from it.
+    (The production use distills the real-weight FFDNet operator into
+    FastDVDnet — ``scripts/distill_fastdvd.py``.)"""
+    model = FastDVDnet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)),
+                           jnp.float32(0.1))
+    clips = jnp.asarray(synthetic_video_dataset(4, length=5, size=16, seed=3))
+    key = jax.random.PRNGKey(7)
+
+    def teacher(noisy_center, sigma):  # shape-preserving, sigma-aware
+        return noisy_center * 0.5 + sigma.reshape(-1, 1, 1, 1)
+
+    plain, _ = fastdvd_task(model).loss_fn(variables, key, clips)
+    w0, _ = fastdvd_task(model, teacher=teacher, distill_weight=0.0).loss_fn(
+        variables, key, clips)
+    w1, _ = fastdvd_task(model, teacher=teacher, distill_weight=1.0).loss_fn(
+        variables, key, clips)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(plain), rtol=1e-6)
+    assert np.isfinite(float(w1)) and abs(float(w1) - float(plain)) > 1e-6
+    grads = jax.grad(
+        lambda v: fastdvd_task(model, teacher=teacher).loss_fn(v, key, clips)[0]
+    )(variables)["params"]
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
 def test_ddnet_training_reduces_loss():
     model = DDnet()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)))
