@@ -54,6 +54,21 @@ def test_read_video_roundtrip(video_dir, tmp_path):
     assert float(v[..., 2].mean()) < 0.1  # not channel-swapped
 
 
+def test_read_video_uint8_and_meta(video_dir, tmp_path):
+    """uint8 staging keeps raw bytes (the clip-pool path); video_meta reads
+    container props without decoding."""
+    from adaptivepnp_sci_tpu.data.video import video_meta
+
+    path = str(tmp_path / "solid.avi")
+    frames = np.full((6, 64, 80, 3), 120, np.uint8)
+    _write_video(path, frames)
+    v8 = read_video(path, dtype=np.uint8)
+    assert v8.dtype == np.uint8 and v8.shape == (6, 64, 80, 3)
+    np.testing.assert_allclose(
+        read_video(path), v8.astype(np.float32) / 255.0)
+    assert video_meta(path) == (6, 64, 80)
+
+
 def test_list_videos_filters_and_sorts(video_dir):
     names = [p.rsplit("/", 1)[1] for p in list_videos(video_dir)]
     assert names == ["a.avi", "b.avi", "short.avi"]
