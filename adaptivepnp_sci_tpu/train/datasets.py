@@ -199,3 +199,22 @@ def batch_iterator(
         for i in range(0, len(data) - batch_size + 1, batch_size):
             yield data[order[i : i + batch_size]]
         epoch += 1
+
+
+def paired_batch_iterator(
+    arrays: tuple, batch_size: int, seed: int = 0,
+    epochs: int | None = None,
+) -> Iterator[tuple]:
+    """Shuffled epoch iterator over several same-length arrays at once
+    (e.g. ``(clips, sigmas, flags)``) — one shared permutation per epoch,
+    yielding tuples the Trainer passes through as a pytree batch."""
+    n = len(arrays[0])
+    assert all(len(a) == n for a in arrays), [len(a) for a in arrays]
+    rng = np.random.default_rng(seed)
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        order = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            sel = order[i : i + batch_size]
+            yield tuple(a[sel] for a in arrays)
+        epoch += 1

@@ -188,6 +188,76 @@ def fastdvd_task(
     return TrainTask("fastdvd", loss_fn)
 
 
+def fastdvd_distill_task(
+    model,
+    teacher: Callable[[Array, Array], Array],
+    jac_weight: float = 0.0,
+) -> TrainTask:
+    """Operator distillation on explicit probe points: batch is the pytree
+    ``(clips (N,5,H,W,3), sigmas (N,), needs_noise (N,))``.
+
+    Probe points come in two families (``scripts/harvest_iterates.py``):
+    ADMM-loop iterates, used AS-IS (``needs_noise=0`` — they already carry
+    the loop's actual artifact statistics), and clean synthetic clips that
+    get fresh Gaussian noise at ``sigma * frac`` each step
+    (``needs_noise=1``; same mismatched-sigma fraction as
+    :func:`fastdvd_task`). The target is always the teacher's output on the
+    center frame at the conditioning sigma — never the clean frame — so the
+    student learns the TEACHER OPERATOR on the union of both input
+    distributions.
+
+    ``jac_weight`` adds Sobolev-style Jacobian matching: for a random unit
+    direction u over the window, penalize
+    ``||J_student(x) u - J_teacher(center) u_center||^2`` (per-sample sum,
+    eval-mode operators — what the PnP loop iterates). Measured motivation:
+    value-only distillation reproduced the teacher to rmse 0.0046 yet
+    shipped sigma_max 1.128 vs the teacher's 0.721
+    (``scripts/diag_teacher_sigma.py``) — MSE on outputs is blind to the
+    derivative, and PnP stability IS a derivative property.
+    """
+
+    def loss_fn(variables, key, batch):
+        clips, sigmas, needs_noise = batch
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        clips = augment_batch(k1, clips)
+        n = clips.shape[0]
+        frac = jnp.where(
+            jax.random.bernoulli(k2, 0.5, (n,)),
+            1.0,
+            jax.random.uniform(k2, (n,)),
+        )
+        noise = jax.random.normal(k3, clips.shape) * (
+            sigmas * frac)[:, None, None, None, None]
+        x = clips + needs_noise[:, None, None, None, None] * noise
+        c = x.shape[1] // 2
+        t_out = jax.lax.stop_gradient(teacher(x[:, c], sigmas))
+        out, mutated = model.apply(
+            variables, x, sigmas, train=True, mutable=["batch_stats"]
+        )
+        loss = jnp.mean((out - t_out) ** 2) / 2.0
+        if jac_weight > 0:
+            u = jax.random.normal(k4, x.shape)
+            u = u / jnp.sqrt(jnp.maximum(
+                jnp.sum(u * u, axis=(1, 2, 3, 4), keepdims=True), 1e-20))
+
+            def f_s(inp):
+                return model.apply(variables, inp, sigmas)  # eval mode
+
+            def f_t(center):
+                return teacher(center, sigmas)
+
+            _, s_jvp = jax.jvp(f_s, (x,), (u,))
+            _, t_jvp = jax.jvp(f_t, (x[:, c],), (u[:, c],))
+            t_jvp = jax.lax.stop_gradient(t_jvp)
+            # per-sample squared operator difference along u (u is unit-norm,
+            # so this is in sigma_max^2 units)
+            jac = jnp.mean(jnp.sum((s_jvp - t_jvp) ** 2, axis=(1, 2, 3)))
+            loss = loss + jac_weight * jac
+        return loss, mutated
+
+    return TrainTask("fastdvd_distill", loss_fn)
+
+
 def ddnet_task(model, sigma: float = 1 / 255) -> TrainTask:
     def loss_fn(variables, key, clips):  # clips (N, 5, H, W, 3)
         k1, k3 = jax.random.split(key)

@@ -116,7 +116,8 @@ class Trainer:
         steps pipeline and callers convert lazily at log points."""
         self._key, sub = jax.random.split(self._key)
         self.variables, self.opt_state, loss = self._jit_step(
-            self.variables, self.opt_state, sub, jnp.asarray(batch)
+            self.variables, self.opt_state, sub,
+            jax.tree_util.tree_map(jnp.asarray, batch),  # array OR pytree
         )
         self.step += 1
         cfg = self.config

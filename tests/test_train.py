@@ -123,6 +123,58 @@ def test_fastdvd_distillation_loss_blend():
                for g in jax.tree_util.tree_leaves(grads))
 
 
+def test_fastdvd_distill_iterates_task():
+    """Probe-point distillation: iterate probes pass through un-noised
+    (needs_noise=0), synth probes get fresh noise; jac_weight adds a finite
+    Jacobian-matching term with finite grads."""
+    from adaptivepnp_sci_tpu.train.datasets import paired_batch_iterator
+    from adaptivepnp_sci_tpu.train.tasks import fastdvd_distill_task
+
+    model = FastDVDnet()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)),
+                           jnp.float32(0.1))
+    clips = jnp.asarray(synthetic_video_dataset(4, length=5, size=16, seed=5))
+    sigmas = jnp.asarray(np.float32([0.05, 0.1, 0.15, 0.2]))
+    flags = jnp.asarray(np.float32([0, 0, 1, 1]))
+    key = jax.random.PRNGKey(11)
+
+    def teacher(center, sigma):
+        return center * 0.9 + sigma.reshape(-1, 1, 1, 1) * 0.1
+
+    for jw in (0.0, 0.1):
+        task = fastdvd_distill_task(model, teacher, jac_weight=jw)
+        loss, mutated = task.loss_fn(variables, key, (clips, sigmas, flags))
+        assert np.isfinite(float(loss)) and "batch_stats" in mutated
+        grads = jax.grad(
+            lambda p: task.loss_fn(
+                {**variables, "params": p}, key, (clips, sigmas, flags))[0]
+        )(variables["params"])
+        assert all(np.isfinite(np.asarray(g)).all()
+                   for g in jax.tree_util.tree_leaves(grads))
+
+    # jac term changes the loss (the toy teacher's Jacobian is 0.9*I on the
+    # center frame; the freshly-initialized student's is not)
+    l0, _ = fastdvd_distill_task(model, teacher, 0.0).loss_fn(
+        variables, key, (clips, sigmas, flags))
+    l1, _ = fastdvd_distill_task(model, teacher, 0.1).loss_fn(
+        variables, key, (clips, sigmas, flags))
+    assert abs(float(l1) - float(l0)) > 1e-8
+
+    # paired iterator keeps rows aligned and yields tuple batches the
+    # Trainer can consume as a pytree
+    b = next(paired_batch_iterator(
+        (np.arange(8), np.arange(8) * 10.0), 4, seed=0))
+    np.testing.assert_array_equal(b[0] * 10.0, b[1])
+
+    trainer = Trainer(
+        fastdvd_distill_task(model, teacher), variables,
+        TrainerConfig(lr=1e-4, steps_per_epoch=2, seed=0),
+    )
+    losses = trainer.fit(
+        paired_batch_iterator((clips, sigmas, flags), 2, seed=0), max_steps=2)
+    assert np.isfinite(losses).all()
+
+
 def test_ddnet_training_reduces_loss():
     model = DDnet()
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16, 16, 3)))
