@@ -74,15 +74,18 @@ def run_loop_and_harvest(y, phi, x0_packed, prior_apply, rng, crops, sigmas,
             x_rgb = demosaic.malvar2004(xb_full)
             x_rgb_w = x_rgb - w_dual / tau
 
-            # ---- record: circular 5-windows x Bayer-aligned 64px crops
-            host = np.asarray(x_rgb_w, np.float32)
+            # ---- record: circular 5-windows x Bayer-aligned 64px crops,
+            # cropped ON DEVICE (pulling the full 25MB iterate per iteration
+            # over the axon tunnel would dominate wall time)
+            wins = []
             for _ in range(CROPS_PER_ITER):
                 f = int(rng.integers(n_frames))
                 idx = (np.arange(f - 2, f + 3)) % n_frames
                 yy = 2 * int(rng.integers((SIZE - 64) // 2 + 1))
                 xx = 2 * int(rng.integers((SIZE - 64) // 2 + 1))
-                crops.append(host[idx, yy : yy + 64, xx : xx + 64])
+                wins.append(x_rgb_w[idx, yy : yy + 64, xx : xx + 64])
                 sigmas.append(sigma)
+            crops.extend(np.asarray(jnp.stack(wins), np.float32))
 
             xhat = prior_apply(x_rgb_w, jnp.float32(sigma))
             theta = jnp.clip(bayer.rggb_subsample(xhat), 0.0, 1.0)
