@@ -102,15 +102,16 @@ WARM_START_ITERS = 40
 #: Rows run with the measurement-consistency best-iterate guard
 #: (``ADMMConfig.select_best`` — this framework's extension; the schedule
 #: columns above stay verbatim). Grounds (measured, SCENES.md round 3 +
-#: the full-scale sweep ``scripts/sweep_fastdvd_relax.py``): with the
+#: the full-scale sweep ``scripts/sweep_fastdvd_relax.py``): with
 #: REGENERATED (non-DAVIS, ``/root/reference/.MISSING_LARGE_BLOBS``)
-#: FastDVDnet weights every FastDVD row drags hard stand-ins below their
-#: own GAP-TV warm start (e.g. Traffic 22.74 -> 16.32 dB), and on the
-#: smooth Beauty stand-in the warm start already exceeds 60 dB — above any
-#: denoiser prior's ceiling — so every Beauty mode regresses too.
-#: ``denoiser_relax`` damping was swept (r in {0.5, 0.3, 0.15}) and NEVER
-#: helps these rows; the guard does, is ground-truth-free, and stays
-#: inactive whenever the prior genuinely improves measurement consistency.
+#: FastDVDnet weights some stand-ins can fall below their own GAP-TV warm
+#: start, and on the smooth Beauty stand-in the warm start already exceeds
+#: 60 dB — above any denoiser prior's ceiling. ``denoiser_relax`` damping
+#: was swept (r in {0.5, 0.3, 0.15}) and NEVER rescues a failing row; the
+#: guard does, is ground-truth-free, and stays inactive whenever the prior
+#: genuinely improves measurement consistency — with the round-5
+#: iterate-distilled weights (RESULTS.md) the textured/photo FastDVD rows
+#: now beat their warm starts THROUGH the guard.
 GUARDED_ROWS: frozenset[tuple[str, str]] = frozenset(
     {(s, "fastdvd") for s in SCENE_NAMES} | {("Beauty", "ffdnet")}
 )

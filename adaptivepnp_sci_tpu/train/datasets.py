@@ -209,7 +209,9 @@ def paired_batch_iterator(
     (e.g. ``(clips, sigmas, flags)``) — one shared permutation per epoch,
     yielding tuples the Trainer passes through as a pytree batch."""
     n = len(arrays[0])
-    assert all(len(a) == n for a in arrays), [len(a) for a in arrays]
+    if not all(len(a) == n for a in arrays):
+        raise ValueError(
+            f"misaligned array lengths: {[len(a) for a in arrays]}")
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

@@ -117,18 +117,21 @@ def fastdvd_task(
             ).reshape(clips.shape)
             use_dm = jax.random.bernoulli(k4, 0.5, (n, 1, 1, 1, 1))
             net_in = jnp.where(use_dm, dm, clips)
-        k5, k6 = jax.random.split(k2)
+        k5, k6, k6b = jax.random.split(k2, 3)
         sigma = jax.random.uniform(
             k5, (clips.shape[0],), minval=sigma_range[0], maxval=sigma_range[1]
         )
         # mismatched-sigma robustness: inside the PnP loop the input is
         # already partially denoised, so the actual noise is BELOW the
         # conditioning sigma; train half the batch that way or the net turns
-        # expansive at low sigma and the ADMM iteration diverges
+        # expansive at low sigma and the ADMM iteration diverges.
+        # (bernoulli and uniform need INDEPENDENT keys: bernoulli(k,.5) ==
+        # uniform(k) < 0.5, so sharing one key means the non-unity branch
+        # only ever draws fracs in [0.5, 1).)
         frac = jnp.where(
             jax.random.bernoulli(k6, 0.5, (clips.shape[0],)),
             1.0,
-            jax.random.uniform(k6, (clips.shape[0],)),
+            jax.random.uniform(k6b, (clips.shape[0],)),
         )
         noisy = add_gaussian_noise(k3, net_in, sigma * frac)
         out, mutated = model.apply(
@@ -221,10 +224,13 @@ def fastdvd_distill_task(
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         clips = augment_batch(k1, clips)
         n = clips.shape[0]
+        # independent keys for the branch choice and the fraction draw (a
+        # shared key correlates them: the non-unity branch would only see
+        # fracs in [0.5, 1))
         frac = jnp.where(
             jax.random.bernoulli(k2, 0.5, (n,)),
             1.0,
-            jax.random.uniform(k2, (n,)),
+            jax.random.uniform(k5, (n,)),
         )
         noise = jax.random.normal(k3, clips.shape) * (
             sigmas * frac)[:, None, None, None, None]

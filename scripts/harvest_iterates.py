@@ -31,7 +31,8 @@ Usage:
      student-loop half)
 
 Output npz: clips (N,5,64,64,3) fp32 in the solver's value range,
-sigmas (N,) fp32 — feed to ``fastdvd_distill_iterates_task``.
+sigmas (N,) fp32 — feed to ``train.tasks.fastdvd_distill_task`` via
+``scripts/distill_iterates.py``.
 """
 
 from __future__ import annotations
