@@ -103,17 +103,18 @@ WARM_START_ITERS = 40
 #: (``ADMMConfig.select_best`` — this framework's extension; the schedule
 #: columns above stay verbatim). Grounds (measured, SCENES.md round 3 +
 #: the full-scale sweep ``scripts/sweep_fastdvd_relax.py``): with
-#: REGENERATED (non-DAVIS, ``/root/reference/.MISSING_LARGE_BLOBS``)
+#: DISTILLED (non-DAVIS, ``/root/reference/.MISSING_LARGE_BLOBS``)
 #: FastDVDnet weights some stand-ins can fall below their own GAP-TV warm
-#: start, and on the smooth Beauty stand-in the warm start already exceeds
-#: 60 dB — above any denoiser prior's ceiling. ``denoiser_relax`` damping
-#: was swept (r in {0.5, 0.3, 0.15}) and NEVER rescues a failing row; the
-#: guard does, is ground-truth-free, and stays inactive whenever the prior
-#: genuinely improves measurement consistency — with the round-5
-#: iterate-distilled weights (RESULTS.md) the textured/photo FastDVD rows
-#: now beat their warm starts THROUGH the guard.
+#: start. ``denoiser_relax`` damping was swept (r in {0.5, 0.3, 0.15}) and
+#: NEVER rescues a failing row; the guard does, is ground-truth-free, and
+#: stays inactive whenever the prior genuinely improves measurement
+#: consistency — with the round-5 iterate-distilled weights (RESULTS.md)
+#: the textured/photo FastDVD rows beat their warm starts THROUGH the
+#: guard. ("Beauty", "ffdnet") was guarded through round 4 because the
+#: then-smooth Beauty stand-in's warm start exceeded 60 dB; the round-5
+#: portrait stand-in removed those grounds.
 GUARDED_ROWS: frozenset[tuple[str, str]] = frozenset(
-    {(s, "fastdvd") for s in SCENE_NAMES} | {("Beauty", "ffdnet")}
+    {(s, "fastdvd") for s in SCENE_NAMES}
 )
 
 

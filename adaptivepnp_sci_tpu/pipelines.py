@@ -125,6 +125,91 @@ def run_warm_start(
     )
 
 
+def probe_demosaic_residuals(
+    y_bayer: np.ndarray,
+    phi_bayer: np.ndarray,
+    x0_bayer: np.ndarray,
+    prior: Prior,
+    variables: Any,
+    dm_model,
+    dm_variables: Any,
+    probe_iters: int = 6,
+    sigma: float = 25 / 255,
+) -> tuple[float, float]:
+    """Measurement residuals of a short fixed-weight probe solve with each
+    demosaicker: ``(resid_malvar, resid_ddnet)``.
+
+    One sigma stage, ``probe_iters`` iterations, both paths from the same
+    warm start — the cheap ground-truth-free statistic behind
+    :func:`select_demosaicker`.
+    """
+    from adaptivepnp_sci_tpu.ops import bayer, physics
+    from adaptivepnp_sci_tpu.solvers import ADMMConfig
+    from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
+
+    y_p = bayer.pack(jnp.asarray(y_bayer, jnp.float32))
+    phi_p = bayer.pack(jnp.asarray(phi_bayer, jnp.float32))
+
+    def resid(theta_full):
+        return float(jnp.mean(
+            (physics.forward(bayer.pack(theta_full), phi_p) - y_p) ** 2
+        ))
+
+    base = dict(sigma=(sigma,), iters=(probe_iters,), denoiser=prior.name)
+    out_m = two_stage_admm(
+        y_bayer, phi_bayer, ADMMConfig(**base), prior=prior,
+        variables=variables, x0_bayer=x0_bayer,
+    )
+    out_d = two_stage_admm(
+        y_bayer, phi_bayer, ADMMConfig(**base, demosaic_method="ddnet"),
+        prior=prior, variables=variables, x0_bayer=x0_bayer,
+        demosaic_fn=ddnet_demosaic(dm_model, dm_variables),
+    )
+    return resid(out_m.x_bayer), resid(out_d.x_bayer)
+
+
+def select_demosaicker(
+    scene: SceneData,
+    prior: Prior,
+    variables: Any,
+    dm_model,
+    dm_variables: Any,
+    warm_start: np.ndarray | None = None,
+    probe_iters: int = 6,
+) -> str:
+    """Ground-truth-free per-scene demosaicker choice: ``'malvar'`` or
+    ``'ddnet'``.
+
+    The reference leaves Malvar-vs-DDnet to a manual driver toggle
+    (``deep_demosaicking``, ``two_stage_ADMM_Online_FFD_Warm.py:25``), but
+    the better demosaicker is scene-dependent (RESULTS.md: DDnet +1.1 dB on
+    dead-leaves statistics, -0.9 dB on the real-photo scene). This runs a
+    short fixed-weight probe solve with each demosaicker on the FIRST
+    measurement and picks the lower measurement residual ``||A(theta)-y||^2``
+    — the same ground-truth-free principle as ``ADMMConfig.select_best``,
+    applied across configurations instead of across iterates. Validated on
+    all six scene stand-ins in RESULTS.md (``scripts/ab_demosaic_select.py``:
+    residual pick == PSNR-oracle pick on photo AND leaves statistics).
+    CLI: ``reconstruct --demosaic auto``.
+    """
+    if warm_start is not None:
+        x0 = warm_start[0]
+    else:
+        x0 = gap_tv(
+            scene.meas[0], scene.mask, GapTVConfig(iters=WARM_START_ITERS)
+        ).x_bayer
+    r_m, r_d = probe_demosaic_residuals(
+        scene.meas[0], scene.mask, x0, prior, variables, dm_model,
+        dm_variables, probe_iters=probe_iters,
+    )
+    pick = "malvar" if r_m <= r_d else "ddnet"
+    log.info(
+        "demosaicker auto-select: probe resid malvar %.4e ddnet %.4e -> %s",
+        r_m, r_d, pick,
+    )
+    return pick
+
+
 def run_reconstruction(
     scene: SceneData,
     prior: Prior,

@@ -28,6 +28,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import Array
 
@@ -37,7 +38,7 @@ from adaptivepnp_sci_tpu.adapt.online import (
     make_adapt_fn,
     make_schedule,
 )
-from adaptivepnp_sci_tpu.ops import bayer, demosaic, metrics, physics
+from adaptivepnp_sci_tpu.ops import bayer, demosaic, metrics, pallas_kernels, physics
 from adaptivepnp_sci_tpu.solvers.priors import Prior
 from adaptivepnp_sci_tpu.solvers.two_stage_admm import _default_adam
 
@@ -53,6 +54,7 @@ class GapDeepConfig:
     lam: float = 1.0
     gamma: float = 0.01
     adapt: AdaptConfig | None = None  # reference 'PPP'/update_ branches
+    use_pallas: bool | None = None    # None = auto (fused x-update on TPU)
 
 
 class GapDeepResult(NamedTuple):
@@ -88,31 +90,36 @@ def _build_runner(
         y_p = bayer.pack(y_full)
         phi_p = bayer.pack(phi_full)
         phi_s = physics.phi_sum(phi_p)
+        use_pallas = (
+            pallas_kernels.on_tpu() if config.use_pallas is None
+            else config.use_pallas
+        )
+        x_update = (
+            pallas_kernels.gap_x_update if use_pallas else physics.gap_x_update
+        )
 
         def trace_psnr(x):
             if not compute_trace:
                 return jnp.float32(0)
             return metrics.psnr(orig, bayer.unpack(x))
 
-        def step(carry, inp):
+        def step_body(carry, inp, fire: bool):
             x, theta, b, variables, opt_state, key = carry
-            sigma, adapt_flag, _k = inp
+            sigma, _k = inp
 
-            x = physics.gap_x_update(
+            x = x_update(
                 theta, b, y_p, phi_p, phi_s, config.lam, config.gamma
             )
             xb_full = bayer.unpack(x - b)            # (B, H, W)
             x_rgb = dm(xb_full)                      # (B, H, W, 3)
 
-            if do_adapt:
-                def fire(args):
-                    v, o, kk = args
-                    return adapt_step(
-                        v, o, kk, x_rgb, sigma, y_p, phi_p, y_full, phi_full
-                    )
-
-                variables, opt_state, key = jax.lax.cond(
-                    adapt_flag, fire, lambda a: a, (variables, opt_state, key)
+            if do_adapt and fire:
+                # trigger iterations are compiled fire-inline at their
+                # STATIC positions (segment loop below) — no lax.cond in
+                # the scan, same design as two_stage_admm._build_runner
+                variables, opt_state, key = adapt_step(
+                    variables, opt_state, key, x_rgb, sigma, y_p, phi_p,
+                    y_full, phi_full
                 )
 
             xhat = prior.apply(variables, x_rgb, sigma)
@@ -122,15 +129,34 @@ def _build_runner(
             carry = (x, theta, b, variables, opt_state, key)
             return carry, trace_psnr(x)
 
-        init = (x0, x0, jnp.zeros_like(x0), variables, opt_state, key)
-        xs = (
-            jnp.asarray(sigmas_np),
-            jnp.asarray(adapt_mask_np),
-            jnp.arange(total_iters),
-        )
-        (x, theta, b, variables, opt_state, key), trace = jax.lax.scan(
-            step, init, xs
-        )
+        # Static trigger segmentation (two_stage_admm.py segment loop): the
+        # schedule splits into maximal same-mask runs — non-firing runs are
+        # one lax.scan of the plain step, isolated triggers unroll inline,
+        # consecutive triggers scan the firing step.
+        def xs_slice(lo, hi):
+            return (jnp.asarray(sigmas_np[lo:hi]), jnp.arange(lo, hi))
+
+        mask = np.asarray(adapt_mask_np, bool)
+        run_bounds = [0] + (
+            np.nonzero(mask[1:] != mask[:-1])[0] + 1
+        ).tolist() + [total_iters]
+        carry = (x0, x0, jnp.zeros_like(x0), variables, opt_state, key)
+        traces = []
+        for lo, hi in zip(run_bounds[:-1], run_bounds[1:]):
+            fire = bool(mask[lo]) if hi > lo else False
+            if fire and hi - lo == 1:
+                inp = (jnp.float32(sigmas_np[lo]), jnp.int32(lo))
+                carry, tr = step_body(carry, inp, True)
+                tr = tr[None]
+            else:
+                carry, tr = jax.lax.scan(
+                    lambda c, i, f=fire: step_body(c, i, f),
+                    carry, xs_slice(lo, hi),
+                )
+            traces.append(tr)
+        trace = traces[0] if len(traces) == 1 else jnp.concatenate(traces)
+
+        x, theta, b, variables, opt_state, key = carry
         # final denoise output for the RGB return (ref returns last xbgr3)
         xhat = prior.apply(variables, dm(bayer.unpack(x - b)), sigmas_np[-1])
         return x, xhat, trace, variables, opt_state

@@ -9,6 +9,7 @@ or window axis so the TPU sees one large conv program.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -44,11 +45,16 @@ class Prior(NamedTuple):
     adapt_mask: tuple[str, float] | None = None
 
 
+@functools.lru_cache(maxsize=16)
 def ffdnet_prior(model) -> Prior:
     """FFDNet image prior: B frames denoised as one batch.
 
     Replaces the reference's per-frame loop
     (``packages/ffdnet/test_ffdnet_ipol.py:263-272,303-315``).
+
+    Cached per model (Flax modules hash by configuration): the solver's
+    jitted-runner cache keys on the Prior OBJECT, so a driver that rebuilt
+    the prior each measurement would silently recompile every measurement.
     """
 
     def apply(params, rgb: Array, sigma: Array) -> Array:
@@ -107,7 +113,12 @@ def ddnet_demosaic_param(model, window: int = 5):
 
 def ddnet_demosaic(model, variables, window: int = 5):
     """Fixed-weight form of :func:`ddnet_demosaic_param`:
-    ``(B, H, W) -> (B, H, W, 3)`` with the variables baked into the closure."""
+    ``(B, H, W) -> (B, H, W, 3)`` with the variables baked into the closure.
+
+    NOT cached (``variables`` is an unhashable pytree): construct it ONCE
+    per weight set and reuse the returned closure across measurements — the
+    solver's jitted-runner cache keys on this object's identity, so a fresh
+    closure per measurement recompiles the whole schedule each time."""
     apply_p = ddnet_demosaic_param(model, window)
 
     def apply(mosaic_frames: Array) -> Array:
@@ -116,10 +127,15 @@ def ddnet_demosaic(model, variables, window: int = 5):
     return apply
 
 
+@functools.lru_cache(maxsize=16)
 def fastdvd_prior(model, window: int = 5, window_chunk: int | None = None,
                   adapt_window_chunk: int | None = None,
                   adapt_mask: tuple[str, float] | None = None) -> Prior:
     """FastDVDnet temporal prior over circular 5-frame windows.
+
+    Cached per (model, args) like :func:`ffdnet_prior`, so per-measurement
+    reconstruction drivers can call it freely without missing the solver's
+    jit cache.
 
     Default path (``window == 5``, no chunking): the model's
     ``seq_circular`` method — temp1 evaluated once per DISTINCT circular

@@ -771,6 +771,11 @@ def two_stage_admm_batched(
     orig_batch: Array | None = None,
     demosaic_fn: Callable | None = None,
     optimizer: optax.GradientTransformation | None = None,
+    opt_state: Any = None,
+    key: Array | None = None,
+    dm_spec: DmSpec | None = None,
+    dm_variables: Any = None,
+    dm_opt_state: Any = None,
 ) -> ADMMResult:
     """Throughput mode: reconstruct ``T`` measurements of one scene as a vmap
     batch (every result field gains a leading ``T`` axis).
@@ -780,6 +785,11 @@ def two_stage_admm_batched(
     weight reuse — use :func:`adaptivepnp_sci_tpu.pipelines.run_reconstruction`
     for the reference's sequential ``reuse_model`` semantics). The batch axis
     composes with a ('data',) mesh sharding for multi-chip throughput.
+
+    ``key``/``opt_state``/``dm_spec``/``dm_variables``/``dm_opt_state``
+    mirror :func:`two_stage_admm`: the key is split per measurement; the
+    (dm_)opt_state/dm_variables initialize EACH measurement's independent
+    adaptation, and the returned states are stacked over ``T``.
     """
     t = y_batch.shape[0]
     y = jnp.asarray(y_batch, jnp.float32)
@@ -793,28 +803,31 @@ def two_stage_admm_batched(
     if config.adapt is not None and prior is not None:
         if optimizer is None:
             optimizer = _default_adam(first_lr(config.adapt))
-        opt_state = optimizer.init(variables["params"])
+        if opt_state is None:
+            opt_state = optimizer.init(variables["params"])
     else:
         opt_state = None
+    if dm_spec is not None and dm_opt_state is None:
+        dm_opt_state = dm_spec.optimizer.init(dm_variables)
 
     orig = jnp.asarray(orig_batch) if orig_batch is not None else None
     runner = _build_runner(
-        config, prior, demosaic_fn, optimizer, orig_batch is not None
+        config, prior, demosaic_fn, optimizer, orig_batch is not None,
+        None, dm_spec,
     )
-    keys = jax.random.split(jax.random.PRNGKey(0), t)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, t)
 
-    if orig is not None:
-        theta, xhat, trace, out_vars, out_opt = jax.vmap(
-            lambda y_i, x0_i, o_i, k_i: runner(
-                y_i, phi, x0_i, o_i, variables, opt_state, k_i
-            )[:5]
-        )(y, x0, orig, keys)
-    else:
-        theta, xhat, trace, out_vars, out_opt = jax.vmap(
-            lambda y_i, x0_i, k_i: runner(
-                y_i, phi, x0_i, None, variables, opt_state, k_i
-            )[:5]
-        )(y, x0, keys)
+    def one(y_i, x0_i, orig_i, k_i):
+        return runner(y_i, phi, x0_i, orig_i, variables, opt_state, k_i,
+                      dm_variables, dm_opt_state)
+
+    # None orig is an empty pytree: vmap maps over no leaves for it, so one
+    # vmap covers both metric modes (same pattern as two_stage_admm_tiled)
+    theta, xhat, trace, out_vars, out_opt, out_dm, out_dm_opt = jax.vmap(one)(
+        y, x0, orig, keys
+    )
 
     x_bayer = jax.vmap(bayer.unpack)(theta)
     if orig is not None:
@@ -822,4 +835,5 @@ def two_stage_admm_batched(
         s = jax.vmap(metrics.ssim_per_frame)(orig, x_bayer)
     else:
         p = s = jnp.zeros(x_bayer.shape[:2], jnp.float32)
-    return ADMMResult(xhat, x_bayer, p, s, trace, out_vars, out_opt)
+    return ADMMResult(xhat, x_bayer, p, s, trace, out_vars, out_opt,
+                      out_dm, out_dm_opt)

@@ -220,7 +220,7 @@ def test_run_all_scenes_smoke(tmp_path, monkeypatch):
                     scenes=["Beauty"], random_init=True)
     assert len(rows) == 1
     name, mode, style = rows[0][:3]
-    assert (name, mode, style) == ("Beauty", "ffd", "smooth")
+    assert (name, mode, style) == ("Beauty", "ffd", "photo")
     assert os.path.exists(os.path.join(out_dir, "_Admm_tv_Beauty8.mat"))
     assert os.path.exists(os.path.join(out_dir, "Beauty8_online_ffd.mat"))
     # final PSNR is a real number and the warm start did something
