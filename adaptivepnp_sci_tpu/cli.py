@@ -142,9 +142,19 @@ def _cmd_reconstruct(args) -> None:
             "require --deep-demosaicking (the reference's dm_update is only "
             "reachable with model_demosaic set, dvp…online.py:192-194)"
         )
+    if args.auto_demosaic and args.deep_demosaicking:
+        raise SystemExit(
+            "error: --auto-demosaic picks Malvar vs DDnet itself; drop "
+            "--deep-demosaicking (or keep it to force DDnet)"
+        )
 
+    warm = (
+        load_warm_start(args.warm, scene.n_frames) if args.warm else None
+    )
+
+    deep_dd = args.deep_demosaicking
     demosaic_fn = dd = dd_vars = None
-    if args.deep_demosaicking:
+    if args.deep_demosaicking or args.auto_demosaic:
         from adaptivepnp_sci_tpu.models.convert import load_ddnet
         from adaptivepnp_sci_tpu.models.ddnet import DDnet
         from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
@@ -157,12 +167,19 @@ def _cmd_reconstruct(args) -> None:
             lambda: dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 64, 64, 3))),
             defaults=(str(repo_weights / "ddnet.npz"),),
         )
-        if not args.dm_update:
-            demosaic_fn = ddnet_demosaic(dd, dd_vars)
+        if args.auto_demosaic:
+            # ground-truth-free Malvar-vs-DDnet choice by held-out
+            # measurement cross-validation (pipelines.select_demosaicker)
+            from adaptivepnp_sci_tpu.pipelines import select_demosaicker
 
-    warm = (
-        load_warm_start(args.warm, scene.n_frames) if args.warm else None
-    )
+            pick = select_demosaicker(scene, prior, variables, dd, dd_vars,
+                                      warm_start=warm)
+            print(f"auto-demosaic: {pick}")
+            deep_dd = pick == "ddnet"
+        if deep_dd and not args.dm_update:
+            demosaic_fn = ddnet_demosaic(dd, dd_vars)
+        if not deep_dd:
+            dd = dd_vars = None
 
     config = None
     adapt_flags = (args.adapt_carried_opt or args.adapt_lr
@@ -176,7 +193,7 @@ def _cmd_reconstruct(args) -> None:
         from adaptivepnp_sci_tpu.configs.scenes import admm_config_for
 
         config = admm_config_for(
-            scene.name, args.denoiser, args.deep_demosaicking,
+            scene.name, args.denoiser, deep_dd,
             not args.no_update,
         )
         if adapt_flags and config.adapt is None:
@@ -213,7 +230,7 @@ def _cmd_reconstruct(args) -> None:
     out = run_reconstruction(
         scene, prior, variables,
         denoiser=args.denoiser,
-        deep_demosaicking=args.deep_demosaicking,
+        deep_demosaicking=deep_dd,
         update=not args.no_update,
         reuse_model=not args.no_reuse_model,
         warm_start=warm,
@@ -225,6 +242,7 @@ def _cmd_reconstruct(args) -> None:
         dm_in_scan=args.dm_in_scan,
         dm_fresh_opt=args.dm_fresh_opt,
         tile=args.tile,
+        tile_overlap=args.tile_overlap,
     )
     if args.out:
         save_results(
@@ -660,6 +678,12 @@ def main(argv=None) -> None:
     r.add_argument("--random-init", action="store_true",
                    help="run with untrained weights (smoke tests only)")
     r.add_argument("--deep-demosaicking", action="store_true")
+    r.add_argument("--auto-demosaic", action="store_true",
+                   help="pick Malvar vs DDnet per scene, ground-truth-free: "
+                        "held-out measurement cross-validation of both "
+                        "fixed-weight schedules on the first measurement "
+                        "(pipelines.select_demosaicker; validated on all "
+                        "six stand-ins, RESULTS.md round 5)")
     r.add_argument("--dm-update", action="store_true",
                    help="adapt the DDnet demosaicker online (self-consistency)")
     r.add_argument("--dm-in-scan", action="store_true",
@@ -712,6 +736,12 @@ def main(argv=None) -> None:
                    help="large-scene mode: solve as a vmap batch of NxN "
                         "tiles (warm start cropped per tile, adaptation "
                         "grads shared); use for scenes beyond ~512²")
+    r.add_argument("--tile-overlap", type=int, default=0,
+                   help="halo-overlap in px (even) for --tile: each tile "
+                        "solves with real context across its borders and "
+                        "only the core is stitched — removes seam-band "
+                        "artifacts (measured ~0.8 dB at 1024², RESULTS.md) "
+                        "at ~1.5x tile cost")
     r.set_defaults(fn=_cmd_reconstruct)
 
     d = sub.add_parser("denoise", help="standalone denoiser test")

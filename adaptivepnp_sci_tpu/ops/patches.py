@@ -37,6 +37,35 @@ def stitch_patches(tiles: Array, grid: tuple[int, int]) -> Array:
     return t.reshape(*lead, py * p, px * p2, c)
 
 
+def crop_overlapping(
+    x: Array, patch: int, halo: int
+) -> tuple[Array, tuple[int, int]]:
+    """Overlapping halo windows: ``(..., H, W, C) -> (Py*Px, ..., p+2h, p+2h,
+    C)``.
+
+    ``x`` must already be spatially padded by ``halo`` on each side
+    (``H = Py*patch + 2*halo``); window ``i`` covers core tile ``i`` plus
+    ``halo`` pixels of real context on every side, so adjacent windows
+    overlap by ``2*halo``. The cores (``[halo:halo+patch]`` of each window)
+    tile the unpadded image exactly — stitch with
+    ``stitch_patches(windows[..., halo:halo+patch, halo:halo+patch, :])``.
+    The strided/overlapping analogue of the reference's host-side patch
+    croppers (``utils/crop_into_patches.py:5-29``, ``utils/tools.py:30-58``).
+    """
+    *lead, h, w, c = x.shape
+    py, px = (h - 2 * halo) // patch, (w - 2 * halo) // patch
+    win = patch + 2 * halo
+
+    def crop(y0, x0):
+        return jax.lax.dynamic_slice(
+            x, (0,) * len(lead) + (y0, x0, 0), tuple(lead) + (win, win, c)
+        )
+
+    gy, gx = jnp.meshgrid(jnp.arange(py) * patch, jnp.arange(px) * patch,
+                          indexing="ij")
+    return jax.vmap(crop)(gy.reshape(-1), gx.reshape(-1)), (py, px)
+
+
 def strided_patches(x: Array, patch: int, stride: int) -> Array:
     """Overlapping patches of a single image ``(H, W, C) -> (N, p, p, C)``."""
     h, w, c = x.shape

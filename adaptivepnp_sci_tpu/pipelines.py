@@ -133,36 +133,69 @@ def probe_demosaic_residuals(
     variables: Any,
     dm_model,
     dm_variables: Any,
-    probe_iters: int = 6,
-    sigma: float = 25 / 255,
+    config_malvar,
+    config_ddnet,
+    holdout_frac: float = 0.05,
+    seed: int = 0,
 ) -> tuple[float, float]:
-    """Measurement residuals of a short fixed-weight probe solve with each
-    demosaicker: ``(resid_malvar, resid_ddnet)``.
+    """HELD-OUT measurement residuals of fixed-weight probe solves with each
+    demosaicker: ``(resid_malvar, resid_ddnet)``, lower = better.
 
-    One sigma stage, ``probe_iters`` iterations, both paths from the same
-    warm start — the cheap ground-truth-free statistic behind
-    :func:`select_demosaicker`.
+    Two naive statistics fail here (measured across all six scene stand-ins,
+    ``scripts/ab_demosaic_select.py`` + RESULTS.md round 5):
+
+    * the plain residual ``||A(theta)-y||^2`` is structurally biased toward
+      Malvar — it interpolates, preserving every measured CFA sample, while
+      the DDnet joint demosaicker also denoises, trading raw measurement
+      consistency for prior quality;
+    * held-out residuals of SHORT probes (one high-sigma stage) still pick
+      Malvar everywhere — DDnet's advantage materializes late in the
+      continuation schedule, when fine detail resolves.
+
+    What works (validated: pick == PSNR-oracle pick on all six stand-ins) is
+    measurement CROSS-VALIDATION at the FULL schedule: a ``holdout_frac``
+    subset of snapshot pixels is removed from the solve's data term (``phi``
+    and ``y`` zeroed there — the solver's ``phi_sum`` zero-guard makes that
+    exact, those pixels are then filled purely by prior + demosaicker), each
+    path runs its own verbatim scene schedule with FIXED weights
+    (adaptation stripped: cheap, and measured sufficient to rank), and is
+    scored by how well its reconstruction predicts the TRUE measurement at
+    the held-out pixels. Ground-truth-free and unbiased between
+    interpolating and denoising demosaickers.
     """
+    import dataclasses
+
     from adaptivepnp_sci_tpu.ops import bayer, physics
-    from adaptivepnp_sci_tpu.solvers import ADMMConfig
     from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
-    y_p = bayer.pack(jnp.asarray(y_bayer, jnp.float32))
-    phi_p = bayer.pack(jnp.asarray(phi_bayer, jnp.float32))
+    y = jnp.asarray(y_bayer, jnp.float32)
+    phi = jnp.asarray(phi_bayer, jnp.float32)
+    hold = jax.random.bernoulli(
+        jax.random.PRNGKey(seed), holdout_frac, y.shape
+    ).astype(jnp.float32)                     # (H, W) held-out pixel mask
+    y_train = y * (1.0 - hold)
+    phi_train = phi * (1.0 - hold)[None]
+
+    y_p = bayer.pack(y)
+    phi_p = bayer.pack(phi)
+    hold_p = bayer.pack(hold)
 
     def resid(theta_full):
-        return float(jnp.mean(
-            (physics.forward(bayer.pack(theta_full), phi_p) - y_p) ** 2
-        ))
+        # prediction error at the held-out measurement pixels only
+        err = (physics.forward(bayer.pack(theta_full), phi_p) - y_p) ** 2
+        return float(jnp.sum(err * hold_p) / jnp.maximum(jnp.sum(hold_p), 1))
 
-    base = dict(sigma=(sigma,), iters=(probe_iters,), denoiser=prior.name)
+    cfg_m = dataclasses.replace(config_malvar, adapt=None,
+                                demosaic_method="malvar")
+    cfg_d = dataclasses.replace(config_ddnet, adapt=None,
+                                demosaic_method="ddnet")
     out_m = two_stage_admm(
-        y_bayer, phi_bayer, ADMMConfig(**base), prior=prior,
+        y_train, phi_train, cfg_m, prior=prior,
         variables=variables, x0_bayer=x0_bayer,
     )
     out_d = two_stage_admm(
-        y_bayer, phi_bayer, ADMMConfig(**base, demosaic_method="ddnet"),
-        prior=prior, variables=variables, x0_bayer=x0_bayer,
+        y_train, phi_train, cfg_d, prior=prior,
+        variables=variables, x0_bayer=x0_bayer,
         demosaic_fn=ddnet_demosaic(dm_model, dm_variables),
     )
     return resid(out_m.x_bayer), resid(out_d.x_bayer)
@@ -175,23 +208,33 @@ def select_demosaicker(
     dm_model,
     dm_variables: Any,
     warm_start: np.ndarray | None = None,
-    probe_iters: int = 6,
+    config_malvar=None,
+    config_ddnet=None,
+    holdout_frac: float = 0.05,
 ) -> str:
     """Ground-truth-free per-scene demosaicker choice: ``'malvar'`` or
     ``'ddnet'``.
 
     The reference leaves Malvar-vs-DDnet to a manual driver toggle
     (``deep_demosaicking``, ``two_stage_ADMM_Online_FFD_Warm.py:25``), but
-    the better demosaicker is scene-dependent (RESULTS.md: DDnet +1.1 dB on
-    dead-leaves statistics, -0.9 dB on the real-photo scene). This runs a
-    short fixed-weight probe solve with each demosaicker on the FIRST
-    measurement and picks the lower measurement residual ``||A(theta)-y||^2``
-    — the same ground-truth-free principle as ``ADMMConfig.select_best``,
-    applied across configurations instead of across iterates. Validated on
-    all six scene stand-ins in RESULTS.md (``scripts/ab_demosaic_select.py``:
-    residual pick == PSNR-oracle pick on photo AND leaves statistics).
-    CLI: ``reconstruct --demosaic auto``.
+    the better demosaicker is scene-dependent (RESULTS.md: DDnet wins on
+    dead-leaves statistics, Malvar on the real-photo/textured scenes). This
+    runs both paths' verbatim scene schedules fixed-weight on the FIRST
+    measurement with a held-out-pixel data term and picks the one that
+    predicts the held-out measurements better — the same ground-truth-free
+    principle as ``ADMMConfig.select_best``, applied across configurations
+    instead of across iterates (see :func:`probe_demosaic_residuals` for
+    why simpler statistics fail). Validated on all six scene stand-ins in
+    RESULTS.md (``scripts/ab_demosaic_select.py``). CLI:
+    ``reconstruct --auto-demosaic``.
+
+    ``config_malvar``/``config_ddnet`` default to the scene's verbatim
+    table rows (by ``scene.name`` and ``prior.name``).
     """
+    if config_malvar is None:
+        config_malvar = admm_config_for(scene.name, prior.name, False, False)
+    if config_ddnet is None:
+        config_ddnet = admm_config_for(scene.name, prior.name, True, False)
     if warm_start is not None:
         x0 = warm_start[0]
     else:
@@ -200,11 +243,11 @@ def select_demosaicker(
         ).x_bayer
     r_m, r_d = probe_demosaic_residuals(
         scene.meas[0], scene.mask, x0, prior, variables, dm_model,
-        dm_variables, probe_iters=probe_iters,
+        dm_variables, config_malvar, config_ddnet, holdout_frac=holdout_frac,
     )
     pick = "malvar" if r_m <= r_d else "ddnet"
     log.info(
-        "demosaicker auto-select: probe resid malvar %.4e ddnet %.4e -> %s",
+        "demosaicker auto-select: held-out resid malvar %.4e ddnet %.4e -> %s",
         r_m, r_d, pick,
     )
     return pick
@@ -229,6 +272,7 @@ def run_reconstruction(
     dm_in_scan: bool = False,
     dm_fresh_opt: bool = False,
     tile: int | None = None,
+    tile_overlap: int = 0,
 ) -> ReconstructionOutput:
     """Two-stage online-adaptive reconstruction over all measurements.
 
@@ -236,6 +280,9 @@ def run_reconstruction(
     ``tile x tile`` patches (``two_stage_admm_tiled``; warm start cropped
     per tile, adaptation gradients pmean-shared across tiles). For scenes
     larger than one denoiser program comfortably handles (e.g. 1024²+).
+    ``tile_overlap``: halo-overlap in pixels (even) — tiles solve with real
+    context across their borders and only cores are stitched, removing
+    seam-band artifacts (measured ~0.8 dB at 1024², RESULTS.md round 5).
     The pmean-shared adapted weights/optimizer state carry across
     measurements as usual, and ``dm_update``/``dm_in_scan`` compose: the
     in-scan demosaicker gradients are pmean-shared over the tile axis and
@@ -321,6 +368,7 @@ def run_reconstruction(
                 dm_variables=dm_variables if dm_spec else None,
                 dm_opt_state=dm_opt_state,
                 key=jax.random.PRNGKey(t),
+                overlap=tile_overlap,
             )
         else:
             res = two_stage_admm(

@@ -247,8 +247,15 @@ def _build_runner(
             return metrics.psnr(orig, bayer.unpack(theta))
 
         def resid(theta):
-            # measurement residual of the CURRENT estimate (select_best)
-            return jnp.mean((physics.forward(theta, phi_p) - y_p) ** 2)
+            # measurement residual of the CURRENT estimate (select_best).
+            # Under a mapped tile/shard axis the residual is pmean-ed so
+            # every tile takes the SAME best iterate — per-tile selection
+            # could mix iterations across tile boundaries and seam the
+            # stitched frame.
+            r = jnp.mean((physics.forward(theta, phi_p) - y_p) ** 2)
+            if grad_axis is not None:
+                r = jax.lax.pmean(r, grad_axis)
+            return r
 
         if config.denoiser == "tv":
 
@@ -626,15 +633,32 @@ def two_stage_admm_tiled(
     dm_variables: Any = None,
     dm_opt_state: Any = None,
     key: Array | None = None,
+    overlap: int = 0,
 ) -> ADMMResult:
     """Large-scene mode: reconstruct one oversized measurement as a vmap
-    batch of non-overlapping ``tile x tile`` patches, then stitch.
+    batch of ``tile x tile`` patches, then stitch.
 
     The SCI x-update is pixel-separable, so tiling is exact for the data
     term; only the denoiser/demosaicker see tile borders (the reference
     handles >512px scenes the same way, with host-side patch croppers —
     ``utils/crop_into_patches.py:5-29``). ``tile`` must be even and divide
     H and W. The tile axis composes with a ('data',) mesh for multi-chip.
+
+    ``overlap`` (even, in pixels): halo-overlap mode — each tile is solved
+    on a ``(tile+2*overlap)``-wide window carrying real image context
+    across its borders, and only the central ``tile`` core is stitched, so
+    the denoiser/demosaicker never see a hard border at an interior seam
+    (the spatial analogue of ``parallel/halo.py``'s frame halos). Scene
+    edges are reflect-padded — reflection commutes with the acquisition
+    model (a mirrored measurement IS the measurement of the mirrored
+    scene) and an EVEN overlap preserves the Bayer phase. Seam-band deltas
+    with/without overlap are measured in RESULTS.md
+    (``scripts/measure_tile_seams.py``).
+
+    ``config.select_best`` composes with tiling: the measurement residual
+    is pmean-ed over the tile axis inside the scan, so every tile takes
+    the SAME best iterate (per-tile selection could stitch different
+    iterations on the two sides of a seam).
 
     With ``config.adapt`` set, all tiles share ONE adapted weight copy: the
     tile axis is vmapped with an axis name and adaptation gradients are
@@ -662,27 +686,38 @@ def two_stage_admm_tiled(
     """
     h, w = y_bayer.shape
     assert h % tile == 0 and w % tile == 0 and tile % 2 == 0, (h, w, tile)
+    assert overlap >= 0 and overlap % 2 == 0, overlap  # even: Bayer phase
     y = jnp.asarray(y_bayer, jnp.float32)
     phi = jnp.asarray(phi_bayer, jnp.float32)
 
-    from adaptivepnp_sci_tpu.ops.patches import crop_patches, stitch_patches
+    from adaptivepnp_sci_tpu.ops.patches import (
+        crop_overlapping,
+        crop_patches,
+        stitch_patches,
+    )
 
-    y_t, grid = crop_patches(y[..., None], tile)            # (N, tile, tile, 1)
+    def crop(arr):
+        # (..., H, W, C) -> (N, ..., win, win, C); win = tile + 2*overlap
+        if overlap:
+            pad = [(0, 0)] * (arr.ndim - 3) + [(overlap, overlap)] * 2 + [(0, 0)]
+            return crop_overlapping(jnp.pad(arr, pad, mode="reflect"),
+                                    tile, overlap)
+        return crop_patches(arr, tile)
+
+    y_t, grid = crop(y[..., None])                       # (N, win, win, 1)
     y_t = y_t[..., 0]
-    phi_t, _ = crop_patches(jnp.moveaxis(phi, 0, -1), tile)  # (N, tile, tile, B)
-    phi_t = jnp.moveaxis(phi_t, -1, 1)                       # (N, B, tile, tile)
+    phi_t, _ = crop(jnp.moveaxis(phi, 0, -1))            # (N, win, win, B)
+    phi_t = jnp.moveaxis(phi_t, -1, 1)                   # (N, B, win, win)
 
     orig = jnp.asarray(orig_bayer) if orig_bayer is not None else None
     orig_t = None
     if orig is not None:
-        orig_t, _ = crop_patches(jnp.moveaxis(orig, 0, -1), tile)
+        orig_t, _ = crop(jnp.moveaxis(orig, 0, -1))
         orig_t = jnp.moveaxis(orig_t, -1, 1)
     x0_t = None
     if x0_bayer is not None:
-        x0_t, _ = crop_patches(
-            jnp.moveaxis(jnp.asarray(x0_bayer, jnp.float32), 0, -1), tile
-        )
-        x0_t = jnp.moveaxis(x0_t, -1, 1)                 # (N, B, tile, tile)
+        x0_t, _ = crop(jnp.moveaxis(jnp.asarray(x0_bayer, jnp.float32), 0, -1))
+        x0_t = jnp.moveaxis(x0_t, -1, 1)                 # (N, B, win, win)
 
     optimizer = None
     do_adapt = config.adapt is not None and prior is not None
@@ -695,7 +730,10 @@ def two_stage_admm_tiled(
     if dm_spec is not None and dm_opt_state is None:
         dm_opt_state = dm_spec.optimizer.init(dm_variables)
 
-    grad_axis = "tile" if (do_adapt or dm_spec is not None) else None
+    grad_axis = (
+        "tile" if (do_adapt or dm_spec is not None or config.select_best)
+        else None
+    )
     runner = _build_runner(
         config, prior, demosaic_fn, optimizer, orig is not None, grad_axis,
         dm_spec,
@@ -739,7 +777,13 @@ def two_stage_admm_tiled(
     out_vars, out_opt = first(out_vars), first(out_opt)
     out_dm, out_dm_opt = first(out_dm), first(out_dm_opt)
 
-    x_bayer_t = jax.vmap(bayer.unpack)(theta)  # (N, B, tile, tile)
+    x_bayer_t = jax.vmap(bayer.unpack)(theta)  # (N, B, win, win)
+    if overlap:
+        # keep only the central core: borders seen by the denoiser are in
+        # the discarded halo, never at a stitched seam
+        core = slice(overlap, overlap + tile)
+        x_bayer_t = x_bayer_t[:, :, core, core]
+        xhat = xhat[:, :, core, core, :]
     x_bayer = jnp.moveaxis(
         stitch_patches(jnp.moveaxis(x_bayer_t, 1, -1), grid), -1, 0
     )

@@ -6,19 +6,21 @@ scene (-0.9 dB) — the better demosaicker is scene-dependent, and the
 reference leaves the choice to a manual driver toggle
 (``deep_demosaicking``, ``two_stage_ADMM_Online_FFD_Warm.py:25``).
 
-Hypothesis: the measurement residual ``||A(theta) - y||^2`` of a SHORT
-fixed-weight probe solve (one sigma stage, few iterations, both demosaickers
-from the same GAP-TV warm start) ranks the demosaickers the same way final
-PSNR does — the same ground-truth-free principle as ``ADMMConfig.
-select_best``, applied across configurations instead of across iterates.
+Selection rule under test (``pipelines.select_demosaicker``): held-out
+measurement cross-validation at the scene's FULL fixed-weight schedule —
+5% of snapshot pixels are removed from the data term, both demosaicker
+paths solve, and the one predicting the true held-out measurements better
+wins. Two simpler rules were tried first and are recorded as negatives in
+RESULTS.md: the plain residual (biased toward the interpolating Malvar,
+which preserves measured CFA samples exactly) and held-out residuals of
+SHORT single-stage probes (DDnet's advantage only materializes late in the
+continuation schedule).
 
-This script measures, per scene stand-in: probe residual + probe PSNR for
-both demosaickers, full-schedule final PSNR for both, and whether the
-residual-based pick equals the PSNR-based (oracle) pick. The selection rule
-it validates ships as ``pipelines.select_demosaicker`` (CLI
-``--demosaic auto``).
+This script measures, per scene stand-in: held-out residual for both
+demosaickers, full-schedule final PSNR for both (the oracle), and whether
+the picks agree. CLI: ``reconstruct --auto-demosaic``.
 
-Usage: python scripts/ab_demosaic_select.py [h] [probe_iters]
+Usage: python scripts/ab_demosaic_select.py [h]
 """
 
 from __future__ import annotations
@@ -48,7 +50,7 @@ SCENES = {
 }
 
 
-def main(h: int = 512, probe_iters: int = 6) -> None:
+def main(h: int = 512) -> None:
     from adaptivepnp_sci_tpu.configs.scenes import FFDNET_SCENES
     from adaptivepnp_sci_tpu.data.synthetic import make_scene
     from adaptivepnp_sci_tpu.models.convert import load_ffdnet
@@ -86,16 +88,18 @@ def main(h: int = 512, probe_iters: int = 6) -> None:
 
         x0 = gap_tv(y, phi, GapTVConfig(iters=40)).x_bayer
 
+        row = FFDNET_SCENES[name][False]
+        row_dd = FFDNET_SCENES[name][True]
         r_m, r_d = probe_demosaic_residuals(
             y, phi, x0, prior, variables, dd, dd_vars,
-            probe_iters=probe_iters,
+            ADMMConfig(sigma=row.sigma, iters=row.iters, denoiser="ffdnet"),
+            ADMMConfig(sigma=row_dd.sigma, iters=row_dd.iters,
+                       denoiser="ffdnet"),
         )
         pick = "malvar" if r_m <= r_d else "ddnet"
 
         # oracle: full verbatim schedules, fixed weights (isolating the
         # demosaicker axis from adaptation noise)
-        row = FFDNET_SCENES[name][False]
-        row_dd = FFDNET_SCENES[name][True]
         full_m = two_stage_admm(
             y, phi, ADMMConfig(sigma=row.sigma, iters=row.iters,
                                denoiser="ffdnet"),

@@ -179,6 +179,46 @@ def test_run_reconstruction_carries_model(tmp_path):
                for a, b in zip(before, after))
 
 
+def test_select_demosaicker_plumbing():
+    """Ground-truth-free demosaicker selection: the held-out-CV probe runs
+    both paths with adaptation stripped, returns finite residuals, and picks
+    a valid name. (Whether the pick matches the PSNR oracle is a full-scale
+    question — validated on all six 512² stand-ins in RESULTS.md round 5,
+    scripts/ab_demosaic_select.py.)"""
+    from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+    from adaptivepnp_sci_tpu.models.ddnet import DDnet
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.pipelines import (
+        probe_demosaic_residuals,
+        select_demosaicker,
+    )
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import ADMMConfig
+
+    s = make_scene(b=4, h=16, w=16, seed=5)
+    scene = SceneData("synth", s.meas[None], s.mask, s.orig_bayer[None])
+
+    model = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                           jnp.float32(0.1))
+    prior = ffdnet_prior(model)
+    dd = DDnet()
+    dd_vars = dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 16, 16, 3)))
+    # adapt set on purpose: the probe must strip it (fixed-weight solves)
+    cfg = ADMMConfig(
+        sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=1e-5, update_per_iter=1, interval_iter=1),
+    )
+    r_m, r_d = probe_demosaic_residuals(
+        s.meas, s.mask, s.orig_bayer * 0.9, prior, variables, dd, dd_vars,
+        cfg, cfg,
+    )
+    assert np.isfinite(r_m) and np.isfinite(r_d) and r_m != r_d
+    pick = select_demosaicker(scene, prior, variables, dd, dd_vars,
+                              config_malvar=cfg, config_ddnet=cfg)
+    assert pick in ("malvar", "ddnet")
+
+
 def test_adapted_state_roundtrip(tmp_path):
     from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
     from adaptivepnp_sci_tpu.pipelines import load_adapted_state, save_adapted_state

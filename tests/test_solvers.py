@@ -324,6 +324,98 @@ def test_two_stage_admm_tiled_on_data_mesh(scene, tiny_ffdnet):
     )
 
 
+def test_crop_overlapping_cores_roundtrip():
+    """Window cores tile the unpadded image exactly (crop_overlapping
+    contract)."""
+    from adaptivepnp_sci_tpu.ops.patches import crop_overlapping, stitch_patches
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 32, 48, 3), np.float32))
+    halo, patch = 4, 16
+    xp = jnp.pad(x, ((0, 0), (halo, halo), (halo, halo), (0, 0)),
+                 mode="reflect")
+    wins, grid = crop_overlapping(xp, patch, halo)
+    assert wins.shape == (2 * 3, 2, patch + 2 * halo, patch + 2 * halo, 3)
+    back = stitch_patches(
+        wins[:, :, halo:halo + patch, halo:halo + patch, :], grid
+    )
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_two_stage_admm_tiled_overlap(scene):
+    """Halo-overlap tiles: result has the right shape, and on the TV path
+    (whose prox couples pixels across borders) carrying real context across
+    tile borders must not lose quality vs hard-bordered tiles."""
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_tiled
+
+    config = ADMMConfig(sigma=(0.0,), iters=(5,), denoiser="tv")
+    hard = two_stage_admm_tiled(scene.meas, scene.mask, config, tile=16,
+                                orig_bayer=scene.orig_bayer)
+    soft = two_stage_admm_tiled(scene.meas, scene.mask, config, tile=16,
+                                orig_bayer=scene.orig_bayer, overlap=4)
+    assert soft.x_bayer.shape == hard.x_bayer.shape
+    assert np.isfinite(np.asarray(soft.x_bayer)).all()
+    assert float(soft.psnr_per_frame.mean()) >= \
+        float(hard.psnr_per_frame.mean()) - 0.05
+
+
+def test_two_stage_admm_tiled_select_best_global(scene, tiny_ffdnet):
+    """select_best composes with tiling via a pmean-ed residual: with a
+    garbage (random-init) denoiser, candidate 0 (the warm start) wins
+    GLOBALLY, so every tile returns exactly its warm-start crop — per-tile
+    selection could stitch different iterations across a seam."""
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_tiled
+
+    model, variables = tiny_ffdnet
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=10)).x_bayer
+    config = ADMMConfig(sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+                        select_best=True)
+    res = two_stage_admm_tiled(
+        scene.meas, scene.mask, config, tile=16, prior=ffdnet_prior(model),
+        variables=variables, x0_bayer=warm, orig_bayer=scene.orig_bayer,
+    )
+    np.testing.assert_allclose(np.asarray(res.x_bayer), np.asarray(warm),
+                               atol=1e-5)
+
+
+def test_two_stage_admm_batched_passthrough(scene, tiny_ffdnet):
+    """key/opt_state/dm state reach the batched entry point: an adaptation
+    input-noise prior must produce key-dependent results, and dm_spec
+    returns per-measurement stacked demosaicker state."""
+    from adaptivepnp_sci_tpu.models.ddnet import DDnet
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import (
+        make_dm_spec,
+        two_stage_admm_batched,
+    )
+
+    model, variables = tiny_ffdnet
+    # give the FFDNet prior FastDVD-style adaptation input noise so the
+    # PRNG key is load-bearing
+    prior = ffdnet_prior(model)._replace(adapt_noise_std=0.1)
+    y2 = np.stack([scene.meas, scene.meas])
+    config = ADMMConfig(
+        sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=1e-4, update_per_iter=1, interval_iter=2,
+                          initial_iter=0),
+    )
+    dd = DDnet()
+    dd_vars = dd.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 32, 32, 3)))
+    spec = make_dm_spec(dd, lr=1e-6)
+    r1 = two_stage_admm_batched(
+        y2, scene.mask, config, prior=prior, variables=variables,
+        key=jax.random.PRNGKey(5), dm_spec=spec, dm_variables=dd_vars,
+    )
+    r2 = two_stage_admm_batched(
+        y2, scene.mask, config, prior=prior, variables=variables,
+        key=jax.random.PRNGKey(9), dm_spec=spec, dm_variables=dd_vars,
+    )
+    assert r1.x_bayer.shape == (2,) + scene.orig_bayer.shape
+    assert not np.array_equal(np.asarray(r1.x_bayer), np.asarray(r2.x_bayer))
+    # dm state returned stacked over the T axis
+    leaf = jax.tree_util.tree_leaves(r1.dm_variables)[0]
+    assert leaf.shape[0] == 2
+
+
 def test_two_stage_admm_sequence_carries_weights(scene, tiny_ffdnet):
     """Fused lax.scan over measurements: matches the sequential driver loop."""
     from adaptivepnp_sci_tpu.solvers.two_stage_admm import two_stage_admm_sequence
