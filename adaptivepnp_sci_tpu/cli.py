@@ -132,8 +132,16 @@ def _cmd_reconstruct(args) -> None:
 
     repo_weights = pathlib.Path(__file__).resolve().parent.parent / "weights"
 
+    auto_ckpt = args.ckpt == "auto"
+    if auto_ckpt and args.denoiser != "fastdvd":
+        raise SystemExit(
+            "error: --ckpt auto selects among the shipped FastDVDnet weight "
+            "variants (weights/fastdvd{,_smooth}.npz); FFDNet ships one "
+            "checkpoint — pass a path instead"
+        )
     _, prior, variables = _build_denoiser(
-        args.denoiser, args.ckpt, random_init=args.random_init, bf16=args.bf16
+        args.denoiser, None if auto_ckpt else args.ckpt,
+        random_init=args.random_init, bf16=args.bf16
     )
 
     if (args.dm_update or args.dm_in_scan) and not args.deep_demosaicking:
@@ -151,6 +159,23 @@ def _cmd_reconstruct(args) -> None:
     warm = (
         load_warm_start(args.warm, scene.n_frames) if args.warm else None
     )
+
+    if auto_ckpt:
+        # ground-truth-free weight-variant choice by held-out measurement
+        # cross-validation (pipelines.select_prior_variables)
+        from adaptivepnp_sci_tpu.pipelines import select_prior_variables
+        from adaptivepnp_sci_tpu.train.trainer import load_checkpoint_variables
+
+        candidates = {
+            "natural": variables,
+            "smooth": jax.device_put(load_checkpoint_variables(
+                str(repo_weights / "fastdvd_smooth.npz")
+            )),
+        }
+        pick = select_prior_variables(scene, prior, candidates,
+                                      warm_start=warm)
+        print(f"auto-ckpt: {pick}")
+        variables = candidates[pick]
 
     deep_dd = args.deep_demosaicking
     demosaic_fn = dd = dd_vars = None
@@ -673,7 +698,12 @@ def main(argv=None) -> None:
     r.add_argument("--denoiser", choices=["ffdnet", "fastdvd"], default="ffdnet")
     r.add_argument("--ckpt", default=None,
                    help="denoiser checkpoint (.pth or .npz); defaults to the "
-                        "reference model_zoo / shipped weights/ checkpoint")
+                        "reference model_zoo / shipped weights/ checkpoint. "
+                        "With --denoiser fastdvd, 'auto' picks per scene "
+                        "between the natural-statistics and smooth-procedural "
+                        "weight variants, ground-truth-free (held-out "
+                        "measurement cross-validation, "
+                        "pipelines.select_prior_variables)")
     r.add_argument("--ddnet-ckpt", default=None)
     r.add_argument("--random-init", action="store_true",
                    help="run with untrained weights (smoke tests only)")

@@ -125,6 +125,68 @@ def run_warm_start(
     )
 
 
+def holdout_cv_residuals(
+    y_bayer: np.ndarray,
+    phi_bayer: np.ndarray,
+    x0_bayer: np.ndarray,
+    candidates: "list[dict]",
+    holdout_frac: float = 0.05,
+    seed: int = 0,
+) -> list[float]:
+    """Held-out measurement residual of a fixed-weight solve per candidate
+    configuration — the generic ground-truth-free model-selection statistic
+    (lower = better).
+
+    A ``holdout_frac`` subset of snapshot pixels is removed from the solve's
+    data term (``phi`` and ``y`` zeroed there — the solver's ``phi_sum``
+    zero-guard makes that exact, so those pixels are filled purely by
+    prior + demosaicker), every candidate runs its own schedule from the
+    same warm start, and each is scored by how well its reconstruction
+    predicts the TRUE measurement at the held-out pixels. Measurement
+    cross-validation, nothing else: no ground truth consulted.
+
+    Each candidate is a dict of :func:`two_stage_admm` keyword arguments —
+    it must carry ``config``, ``prior``, ``variables``, and may carry
+    ``demosaic_fn``. Adaptation is stripped (cheap, and measured sufficient
+    to rank — RESULTS.md round 5), and so is the ``select_best`` guard: the
+    guard can pin several candidates to the identical warm start, masking
+    exactly the differences this statistic exists to rank, and whenever it
+    WOULD pin them the deployed (guarded) outcomes are tied anyway, so the
+    unguarded statistic ranks strictly more cases at no deployment risk.
+    """
+    import dataclasses
+
+    from adaptivepnp_sci_tpu.ops import bayer, physics
+
+    y = jnp.asarray(y_bayer, jnp.float32)
+    phi = jnp.asarray(phi_bayer, jnp.float32)
+    hold = jax.random.bernoulli(
+        jax.random.PRNGKey(seed), holdout_frac, y.shape
+    ).astype(jnp.float32)                     # (H, W) held-out pixel mask
+    y_train = y * (1.0 - hold)
+    phi_train = phi * (1.0 - hold)[None]
+
+    y_p = bayer.pack(y)
+    phi_p = bayer.pack(phi)
+    hold_p = bayer.pack(hold)
+
+    def resid(theta_full):
+        # prediction error at the held-out measurement pixels only
+        err = (physics.forward(bayer.pack(theta_full), phi_p) - y_p) ** 2
+        return float(jnp.sum(err * hold_p) / jnp.maximum(jnp.sum(hold_p), 1))
+
+    out = []
+    for cand in candidates:
+        kw = dict(cand)
+        cfg = dataclasses.replace(kw.pop("config"), adapt=None,
+                                  select_best=False)
+        res = two_stage_admm(
+            y_train, phi_train, cfg, x0_bayer=x0_bayer, **kw
+        )
+        out.append(resid(res.x_bayer))
+    return out
+
+
 def probe_demosaic_residuals(
     y_bayer: np.ndarray,
     phi_bayer: np.ndarray,
@@ -153,52 +215,35 @@ def probe_demosaic_residuals(
       continuation schedule, when fine detail resolves.
 
     What works (validated: pick == PSNR-oracle pick on all six stand-ins) is
-    measurement CROSS-VALIDATION at the FULL schedule: a ``holdout_frac``
-    subset of snapshot pixels is removed from the solve's data term (``phi``
-    and ``y`` zeroed there — the solver's ``phi_sum`` zero-guard makes that
-    exact, those pixels are then filled purely by prior + demosaicker), each
-    path runs its own verbatim scene schedule with FIXED weights
-    (adaptation stripped: cheap, and measured sufficient to rank), and is
-    scored by how well its reconstruction predicts the TRUE measurement at
-    the held-out pixels. Ground-truth-free and unbiased between
+    measurement CROSS-VALIDATION at the FULL schedule — see
+    :func:`holdout_cv_residuals`, which this wraps with the two demosaicker
+    paths as candidates. Ground-truth-free and unbiased between
     interpolating and denoising demosaickers.
     """
     import dataclasses
 
-    from adaptivepnp_sci_tpu.ops import bayer, physics
     from adaptivepnp_sci_tpu.solvers.priors import ddnet_demosaic
 
-    y = jnp.asarray(y_bayer, jnp.float32)
-    phi = jnp.asarray(phi_bayer, jnp.float32)
-    hold = jax.random.bernoulli(
-        jax.random.PRNGKey(seed), holdout_frac, y.shape
-    ).astype(jnp.float32)                     # (H, W) held-out pixel mask
-    y_train = y * (1.0 - hold)
-    phi_train = phi * (1.0 - hold)[None]
-
-    y_p = bayer.pack(y)
-    phi_p = bayer.pack(phi)
-    hold_p = bayer.pack(hold)
-
-    def resid(theta_full):
-        # prediction error at the held-out measurement pixels only
-        err = (physics.forward(bayer.pack(theta_full), phi_p) - y_p) ** 2
-        return float(jnp.sum(err * hold_p) / jnp.maximum(jnp.sum(hold_p), 1))
-
-    cfg_m = dataclasses.replace(config_malvar, adapt=None,
-                                demosaic_method="malvar")
-    cfg_d = dataclasses.replace(config_ddnet, adapt=None,
-                                demosaic_method="ddnet")
-    out_m = two_stage_admm(
-        y_train, phi_train, cfg_m, prior=prior,
-        variables=variables, x0_bayer=x0_bayer,
+    r_m, r_d = holdout_cv_residuals(
+        y_bayer, phi_bayer, x0_bayer,
+        [
+            dict(
+                config=dataclasses.replace(
+                    config_malvar, demosaic_method="malvar"
+                ),
+                prior=prior, variables=variables,
+            ),
+            dict(
+                config=dataclasses.replace(
+                    config_ddnet, demosaic_method="ddnet"
+                ),
+                prior=prior, variables=variables,
+                demosaic_fn=ddnet_demosaic(dm_model, dm_variables),
+            ),
+        ],
+        holdout_frac=holdout_frac, seed=seed,
     )
-    out_d = two_stage_admm(
-        y_train, phi_train, cfg_d, prior=prior,
-        variables=variables, x0_bayer=x0_bayer,
-        demosaic_fn=ddnet_demosaic(dm_model, dm_variables),
-    )
-    return resid(out_m.x_bayer), resid(out_d.x_bayer)
+    return r_m, r_d
 
 
 def select_demosaicker(
@@ -249,6 +294,51 @@ def select_demosaicker(
     log.info(
         "demosaicker auto-select: held-out resid malvar %.4e ddnet %.4e -> %s",
         r_m, r_d, pick,
+    )
+    return pick
+
+
+def select_prior_variables(
+    scene: SceneData,
+    prior: Prior,
+    candidates: "dict[str, Any]",
+    config=None,
+    warm_start: np.ndarray | None = None,
+    holdout_frac: float = 0.05,
+) -> str:
+    """Ground-truth-free per-scene choice among prior WEIGHT variants:
+    returns the winning key of ``candidates`` (label -> variables pytree).
+
+    Motivation (RESULTS.md round 5): the shipped FastDVDnet checkpoints
+    split by regime — ``weights/fastdvd.npz`` (FFDNet-iterate-distilled,
+    wins on natural statistics) vs ``weights/fastdvd_smooth.npz`` (round-2
+    smooth-procedural weights, +6.8 dB on smooth synthetic content) — and
+    the reference has no mechanism to pick a checkpoint per scene at all
+    (its drivers hardcode one path, ``two_stage_ADMM_Online_FastDVD_Warm.py:
+    243-247``). Same statistic as :func:`select_demosaicker`: each weight
+    variant runs the scene's verbatim fixed-weight schedule with a held-out
+    measurement data term; the variant predicting the true measurement at
+    the held-out pixels best wins. CLI: ``reconstruct --ckpt auto``.
+    """
+    if config is None:
+        config = admm_config_for(scene.name, prior.name, False, False)
+    if warm_start is not None:
+        x0 = warm_start[0]
+    else:
+        x0 = gap_tv(
+            scene.meas[0], scene.mask, GapTVConfig(iters=WARM_START_ITERS)
+        ).x_bayer
+    labels = list(candidates)
+    resids = holdout_cv_residuals(
+        scene.meas[0], scene.mask, x0,
+        [dict(config=config, prior=prior, variables=candidates[k])
+         for k in labels],
+        holdout_frac=holdout_frac,
+    )
+    pick = labels[int(np.argmin(resids))]
+    log.info(
+        "prior-weight auto-select: held-out resid %s -> %s",
+        " ".join(f"{k}={r:.4e}" for k, r in zip(labels, resids)), pick,
     )
     return pick
 

@@ -219,6 +219,45 @@ def test_select_demosaicker_plumbing():
     assert pick in ("malvar", "ddnet")
 
 
+def test_select_prior_variables_picks_lower_residual():
+    """Weight-variant auto-select: (a) ranks by held-out residual — a
+    variant that IS the identity-ish denoiser vs one returning garbage must
+    resolve to the better one; (b) strips adaptation; (c) returns a key of
+    the candidates dict."""
+    from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
+    from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
+    from adaptivepnp_sci_tpu.pipelines import (
+        holdout_cv_residuals,
+        select_prior_variables,
+    )
+    from adaptivepnp_sci_tpu.solvers.priors import ffdnet_prior
+    from adaptivepnp_sci_tpu.solvers.two_stage_admm import ADMMConfig
+
+    s = make_scene(b=4, h=16, w=16, seed=7)
+    scene = SceneData("synth", s.meas[None], s.mask, s.orig_bayer[None])
+
+    model = FFDNet(in_nc=3, out_nc=3, nc=8, nb=3)
+    good = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                      jnp.float32(0.1))
+    # garbage variant: huge weights -> wildly off-measurement iterates
+    bad = jax.tree_util.tree_map(lambda p: p * 50.0 + 3.0, good)
+    prior = ffdnet_prior(model)
+    cfg = ADMMConfig(
+        sigma=(25 / 255,), iters=(3,), denoiser="ffdnet",
+        adapt=AdaptConfig(lr=1e-5, update_per_iter=1, interval_iter=1),
+    )
+    resids = holdout_cv_residuals(
+        s.meas, s.mask, s.orig_bayer * 0.9,
+        [dict(config=cfg, prior=prior, variables=v) for v in (good, bad)],
+    )
+    assert all(np.isfinite(r) for r in resids) and resids[0] < resids[1]
+    pick = select_prior_variables(
+        scene, prior, {"good": good, "bad": bad}, config=cfg,
+        warm_start=(s.orig_bayer * 0.9)[None],
+    )
+    assert pick == "good"
+
+
 def test_adapted_state_roundtrip(tmp_path):
     from adaptivepnp_sci_tpu.models.ffdnet import FFDNet
     from adaptivepnp_sci_tpu.pipelines import load_adapted_state, save_adapted_state
