@@ -79,6 +79,26 @@ class ADMMConfig:
     #: result can then never be less measurement-consistent than its own
     #: warm start. Default False = reference semantics.
     select_best: bool = False
+    #: held-out variant of ``select_best`` (round-5 extension; 0 = off =
+    #: rank by the raw residual). The raw residual is structurally biased
+    #: toward the warm start: GAP-TV runs 40 data-consistency-heavy
+    #: iterations, so on clean measurements its raw residual is nearly
+    #: unbeatable, and the guard can pin the solve at its warm start even
+    #: when denoiser iterates are SEVERAL dB better (measured: the
+    #: iterate-distilled FastDVDnet beat its warm start by +6 dB unguarded
+    #: on textured/photo scenes yet every guarded row pinned — RESULTS.md
+    #: round 5, the same bias found for Malvar-vs-DDnet selection). With
+    #: ``select_best_holdout=f``, a Bernoulli(f) subset of snapshot pixels
+    #: is removed from the solve's ENTIRE data term (x-update AND
+    #: adaptation loss; the ``phi_sum`` zero-guard makes the removal exact)
+    #: and iterates are ranked by their prediction error of the TRUE
+    #: measurement at the held-out pixels — cross-validation, unbiased
+    #: between data-consistent and prior-consistent iterates. The warm
+    #: start stays candidate 0, so the pin-to-warm-start protection (and
+    #: the full-data warm start itself) is unchanged.
+    select_best_holdout: float = 0.0
+    #: PRNG seed for the held-out pixel mask
+    select_best_seed: int = 0
     #: replay the reference's ITERATION-1 dual-aliasing artifact exactly:
     #: the reference binds x/theta/x0 to one tensor (``dvp…online.py:87-89``)
     #: and its theta-update writes through that alias before the clip
@@ -212,6 +232,20 @@ def _build_runner(
 
     def run(y_full, phi_full, x0, orig, variables, opt_state, key,
             dm_variables=None, dm_opt_state=None):
+        hold_p = None
+        if config.select_best and config.select_best_holdout > 0:
+            # held-out CV guard: drop a pixel subset from the whole data
+            # term, rank iterates by prediction error at those pixels
+            hold = jax.random.bernoulli(
+                jax.random.PRNGKey(config.select_best_seed),
+                config.select_best_holdout, y_full.shape,
+            ).astype(y_full.dtype)
+            y_true_p = bayer.pack(y_full)
+            phi_true_p = bayer.pack(phi_full)
+            hold_p = bayer.pack(hold)
+            hold_n = jnp.maximum(jnp.sum(hold_p), 1.0)
+            y_full = y_full * (1.0 - hold)
+            phi_full = phi_full * (1.0 - hold)[None]
         y_p = bayer.pack(y_full)      # (4, H2, W2)
         phi_p = bayer.pack(phi_full)  # (B, 4, H2, W2)
         phi_s = physics.phi_sum(phi_p)
@@ -247,12 +281,18 @@ def _build_runner(
             return metrics.psnr(orig, bayer.unpack(theta))
 
         def resid(theta):
-            # measurement residual of the CURRENT estimate (select_best).
-            # Under a mapped tile/shard axis the residual is pmean-ed so
-            # every tile takes the SAME best iterate — per-tile selection
-            # could mix iterations across tile boundaries and seam the
-            # stitched frame.
-            r = jnp.mean((physics.forward(theta, phi_p) - y_p) ** 2)
+            # measurement residual of the CURRENT estimate (select_best):
+            # raw ||A(theta)-y||^2, or — with select_best_holdout — the
+            # prediction error of the TRUE measurement at the held-out
+            # pixels only. Under a mapped tile/shard axis the residual is
+            # pmean-ed so every tile takes the SAME best iterate —
+            # per-tile selection could mix iterations across tile
+            # boundaries and seam the stitched frame.
+            if hold_p is None:
+                r = jnp.mean((physics.forward(theta, phi_p) - y_p) ** 2)
+            else:
+                err = (physics.forward(theta, phi_true_p) - y_true_p) ** 2
+                r = jnp.sum(err * hold_p) / hold_n
             if grad_axis is not None:
                 r = jax.lax.pmean(r, grad_axis)
             return r

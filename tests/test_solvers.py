@@ -598,6 +598,66 @@ def test_select_best_tv_path(scene):
         float(warm.psnr_per_frame.mean()) - 0.5
 
 
+def test_select_best_holdout_protection(scene):
+    """The held-out CV guard (select_best_holdout) keeps the raw guard's
+    pin-to-warm-start protection: with a random-init denoiser destroying the
+    iterate, the returned estimate stays at warm-start quality (the warm
+    start is still candidate 0 and is itself computed from FULL data)."""
+    from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+    from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+
+    model = FastDVDnet()
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 5, 8, 8, 3)), jnp.float32(0.1)
+    )
+    prior = fastdvd_prior(model)
+    warm = gap_tv(scene.meas, scene.mask, GapTVConfig(iters=20),
+                  orig_bayer=scene.orig_bayer)
+    guarded = two_stage_admm(
+        scene.meas, scene.mask,
+        ADMMConfig(sigma=(30 / 255,), iters=(6,), denoiser="fastdvd",
+                   select_best=True, select_best_holdout=0.1),
+        prior=prior, variables=variables, x0_bayer=warm.x_bayer,
+        orig_bayer=scene.orig_bayer)
+    assert float(guarded.psnr_per_frame.mean()) >= \
+        float(warm.psnr_per_frame.mean()) - 0.05
+
+
+def test_select_best_holdout_excludes_pixels_from_data_term(scene):
+    """Mechanism check: with select_best_holdout, the held-out pixels must
+    be OUT of the solve's data term — corrupting y at exactly those pixels
+    may change which iterate is selected (they drive the ranking) but must
+    not change the iterates themselves (identical per-iteration trace)."""
+    from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
+    from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
+
+    model = FastDVDnet()
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 5, 8, 8, 3)), jnp.float32(0.1)
+    )
+    prior = fastdvd_prior(model)
+    cfg = ADMMConfig(sigma=(30 / 255,), iters=(4,), denoiser="fastdvd",
+                     select_best=True, select_best_holdout=0.25,
+                     select_best_seed=7)
+    hold = np.asarray(jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.25, scene.meas.shape)).astype(np.float32)
+    assert hold.sum() > 0
+    y_corrupt = np.asarray(scene.meas) + hold * 0.37
+    kw = dict(prior=prior, variables=variables,
+              x0_bayer=scene.orig_bayer * 0.9, orig_bayer=scene.orig_bayer)
+    a = two_stage_admm(scene.meas, scene.mask, cfg, **kw)
+    b = two_stage_admm(y_corrupt, scene.mask, cfg, **kw)
+    np.testing.assert_allclose(np.asarray(a.psnr_trace),
+                               np.asarray(b.psnr_trace), atol=1e-5)
+    # ...while with holdout OFF the same corruption changes the iterates
+    cfg_raw = ADMMConfig(sigma=(30 / 255,), iters=(4,), denoiser="fastdvd",
+                         select_best=True)
+    c = two_stage_admm(scene.meas, scene.mask, cfg_raw, **kw)
+    d = two_stage_admm(y_corrupt, scene.mask, cfg_raw, **kw)
+    assert not np.allclose(np.asarray(c.psnr_trace), np.asarray(d.psnr_trace),
+                           atol=1e-5)
+
+
 def test_tiled_no_adapt_returns_unstacked_variables(scene, tiny_ffdnet):
     """With adaptation OFF the tiled solver must still return ONE weight
     copy (vmap would otherwise broadcast a tile-stacked pytree, which
