@@ -99,23 +99,28 @@ FASTDVD_SCENES: dict[str, dict[bool, SceneConfig]] = {
 #: GAP-TV warm-start budget (ADMM_TV_Warm_Start_save.py:36-37)
 WARM_START_ITERS = 40
 
-#: Rows run with the measurement-consistency best-iterate guard
-#: (``ADMMConfig.select_best`` — this framework's extension; the schedule
-#: columns above stay verbatim). Grounds (measured, SCENES.md round 3 +
-#: the full-scale sweep ``scripts/sweep_fastdvd_relax.py``): with
-#: DISTILLED (non-DAVIS, ``/root/reference/.MISSING_LARGE_BLOBS``)
-#: FastDVDnet weights some stand-ins can fall below their own GAP-TV warm
-#: start. ``denoiser_relax`` damping was swept (r in {0.5, 0.3, 0.15}) and
-#: NEVER rescues a failing row; the guard does, is ground-truth-free, and
-#: stays inactive whenever the prior genuinely improves measurement
-#: consistency — with the round-5 iterate-distilled weights (RESULTS.md)
-#: the textured/photo FastDVD rows beat their warm starts THROUGH the
-#: guard. ("Beauty", "ffdnet") was guarded through round 4 because the
-#: then-smooth Beauty stand-in's warm start exceeded 60 dB; the round-5
-#: portrait stand-in removed those grounds.
+#: Rows run with the held-out-CV best-iterate guard
+#: (``ADMMConfig.select_best`` + ``select_best_holdout`` — this
+#: framework's extension; the schedule columns above stay verbatim).
+#: Grounds (measured, SCENES.md round 3 + the full-scale sweep
+#: ``scripts/sweep_fastdvd_relax.py``): with DISTILLED (non-DAVIS,
+#: ``/root/reference/.MISSING_LARGE_BLOBS``) FastDVDnet weights some
+#: stand-ins can fall below their own GAP-TV warm start.
+#: ``denoiser_relax`` damping was swept (r in {0.5, 0.3, 0.15}) and NEVER
+#: rescues a failing row; best-iterate selection does, and is
+#: ground-truth-free. The RAW-residual ranking pinned every row at its
+#: warm start even with iterates several dB better (structural bias
+#: toward the 40-iteration data-consistency warm start); the held-out CV
+#: ranking with a fair candidate 0 both protects (leaves: last iterate
+#: below warm -> returns above-warm iterate) and catches the trajectory
+#: peak (textured: +3.8 dB OVER the unguarded last iterate) — full A/B
+#: matrix in AB_RESULTS.md round 5 (``scripts/ab_cv_guard.py``).
 GUARDED_ROWS: frozenset[tuple[str, str]] = frozenset(
     {(s, "fastdvd") for s in SCENE_NAMES}
 )
+
+#: held-out pixel fraction for the guard's CV ranking (A/B-validated)
+GUARD_HOLDOUT = 0.05
 
 
 def admm_config_for(
@@ -147,4 +152,7 @@ def admm_config_for(
         demosaic_method="ddnet" if deep_demosaicking else "malvar",
         adapt=adapt,
         select_best=(scene, denoiser) in GUARDED_ROWS,
+        select_best_holdout=(
+            GUARD_HOLDOUT if (scene, denoiser) in GUARDED_ROWS else 0.0
+        ),
     )

@@ -95,10 +95,26 @@ class ADMMConfig:
     #: measurement at the held-out pixels — cross-validation, unbiased
     #: between data-consistent and prior-consistent iterates. The warm
     #: start stays candidate 0, so the pin-to-warm-start protection (and
-    #: the full-data warm start itself) is unchanged.
+    #: the full-data warm start itself) is unchanged — but candidate 0 is
+    #: RANKED by the held-out error of a GAP-TV warm start recomputed
+    #: in-graph from the MASKED data (``select_best_warm_iters``
+    #: iterations): the passed ``x0_bayer`` was fit to the full
+    #: measurement, so its own held-out "prediction" error is a fitting
+    #: residual, biased ~0 after 40 data-consistency iterations, and
+    #: ranking by it re-creates exactly the pin-to-warm-start bias this
+    #: mode exists to remove (measured: with candidate 0 ranked by the
+    #: full-data x0, the CV guard pinned every row the raw guard pinned).
+    #: If candidate 0 wins the fair ranking, the FULL-data ``x0_bayer`` is
+    #: still what gets returned.
     select_best_holdout: float = 0.0
     #: PRNG seed for the held-out pixel mask
     select_best_seed: int = 0
+    #: GAP-TV budget for the in-graph masked warm start that ranks
+    #: candidate 0 under ``select_best_holdout`` — keep it equal to the
+    #: iteration budget of the real warm start passed as ``x0_bayer``
+    #: (the pipeline's ``WARM_START_ITERS`` = 40) so the fair stand-in
+    #: has the same capacity as the candidate it ranks.
+    select_best_warm_iters: int = 40
     #: replay the reference's ITERATION-1 dual-aliasing artifact exactly:
     #: the reference binds x/theta/x0 to one tensor (``dvp…online.py:87-89``)
     #: and its theta-update writes through that alias before the clip
@@ -297,6 +313,28 @@ def _build_runner(
                 r = jax.lax.pmean(r, grad_axis)
             return r
 
+        def cand0_resid(x0):
+            # ranking statistic for candidate 0 (the warm start). With the
+            # CV guard the passed x0 was fit to the FULL measurement, so
+            # resid(x0) at held-out pixels is a near-zero fitting residual,
+            # not a prediction error — rank instead by a GAP-TV warm start
+            # recomputed here from the already-masked data (y_p/phi_p), the
+            # fair "what would the warm start predict without those pixels"
+            # stand-in. The VALUE returned on a pin stays the full-data x0.
+            if hold_p is None:
+                return resid(x0)
+            from adaptivepnp_sci_tpu.solvers.gap_tv import (
+                GapTVConfig,
+                _gap_tv_packed,
+            )
+
+            wcfg = GapTVConfig(iters=config.select_best_warm_iters,
+                               use_pallas=config.use_pallas)
+            x_ref, _ = _gap_tv_packed(
+                y_p, phi_p, physics.adjoint(y_p, phi_p), None, wcfg, False
+            )
+            return resid(x_ref)
+
         if config.denoiser == "tv":
 
             def step(carry, inp):
@@ -316,7 +354,7 @@ def _build_runner(
                 return (x, theta, b, best_r, best_t), trace_psnr(theta)
 
             if config.select_best:
-                init = (x0, x0, jnp.zeros_like(x0), resid(x0), x0)
+                init = (x0, x0, jnp.zeros_like(x0), cand0_resid(x0), x0)
             else:
                 # scalar placeholders: no forward-model eval, no full-size
                 # pass-through array in the scan carry
@@ -425,7 +463,7 @@ def _build_runner(
                 if dm_spec is not None
                 else dm(bayer.unpack(x0))
             )
-            best0 = (resid(x0), x0, x0_rgb)
+            best0 = (cand0_resid(x0), x0, x0_rgb)
         else:
             best0 = (jnp.float32(0), jnp.float32(0), jnp.float32(0))
 
