@@ -210,7 +210,8 @@ def _cmd_reconstruct(args) -> None:
     adapt_flags = (args.adapt_carried_opt or args.adapt_lr
                    or args.adapt_update_per_iter or args.trainable_filter
                    or args.adapt_crop)
-    solver_flags = (args.select_best is not None or args.relax)
+    solver_flags = (args.select_best is not None or args.relax
+                    or args.select_holdout is not None)
     if adapt_flags or solver_flags:
         # override the per-scene table's fields
         import dataclasses
@@ -246,6 +247,10 @@ def _cmd_reconstruct(args) -> None:
         solver_over = {}
         if args.select_best is not None:
             solver_over["select_best"] = args.select_best
+        if args.select_holdout is not None:
+            solver_over["select_best_holdout"] = args.select_holdout
+            if args.select_holdout > 0:
+                solver_over["select_best"] = True
         if args.relax:
             rs = tuple(float(v) for v in args.relax.split(","))
             solver_over["denoiser_relax"] = rs[0] if len(rs) == 1 else rs
@@ -752,6 +757,14 @@ def main(argv=None) -> None:
                         "the iterate (warm start included) with the lowest "
                         "||A(x)-y||^2 instead of the last one. Default: the "
                         "scene table's per-row setting (GUARDED_ROWS)")
+    r.add_argument("--select-holdout", type=float, default=None,
+                   help="rank the best-iterate guard by held-out "
+                        "cross-validation instead of the raw residual: this "
+                        "pixel fraction is removed from the whole data term "
+                        "and iterates are ranked by prediction error of the "
+                        "true measurement there (implies --select-best when "
+                        ">0; 0 = raw ranking). Default: the scene table's "
+                        "per-row setting (GUARD_HOLDOUT on guarded rows)")
     r.add_argument("--relax", default=None,
                    help="relaxed denoiser step xhat=(1-r)x+rD(x); "
                         "comma-separated for a per-sigma-stage schedule "
