@@ -216,13 +216,15 @@ def main(out_dir: str = "results/scenes", mode: str = "ffd", b: int = 8,
         "runs weights DISTILLED from the real-weight FFDNet on harvested ADMM",
         "iterates (upstream checkpoint missing, ROADMAP.md 'Quality bounds';",
         "RESULTS.md round-5 distillation section); DDnet weights are",
-        "regenerated on procedural clips. FastDVD rows keep the",
-        "measurement-consistency best-iterate guard",
-        "(`configs/scenes.GUARDED_ROWS` -> `ADMMConfig.select_best`,",
-        "ground-truth-free), so none can finish below its warm start; a",
-        "guarded row returning exactly its warm-start dB means the guard",
-        "rejected every denoiser iterate (sweep evidence:",
-        "`scripts/sweep_fastdvd_relax.py`, ROADMAP round-4 notes).",
+        "regenerated on procedural clips. FastDVD rows run the held-out-CV",
+        "best-iterate guard (`configs/scenes.GUARDED_ROWS` ->",
+        "`ADMMConfig.select_best` + `select_best_holdout`, ground-truth-",
+        "free): a 5% pixel subset is held out of the whole data term and",
+        "the returned iterate best predicts the true measurement there,",
+        "the warm start included as a fairly-ranked candidate 0 — so no",
+        "row can finish below its warm start, and the guard returns the",
+        "trajectory's PEAK rather than its endpoint (A/B matrix:",
+        "AB_RESULTS.md round 5, `scripts/ab_cv_guard.py`).",
         "",
         "| scene | mode | stand-in | sigma/255 | iters | warm dB | final dB |"
         " SSIM | warm s/meas | recon s/meas (steady) |",
