@@ -273,6 +273,7 @@ def _cmd_reconstruct(args) -> None:
         dm_fresh_opt=args.dm_fresh_opt,
         tile=args.tile,
         tile_overlap=args.tile_overlap,
+        tile_chunk=args.tile_chunk,
     )
     if args.out:
         save_results(
@@ -785,6 +786,12 @@ def main(argv=None) -> None:
                         "only the core is stitched — removes seam-band "
                         "artifacts (measured ~0.8 dB at 1024², RESULTS.md) "
                         "at ~1.5x tile cost")
+    r.add_argument("--tile-chunk", type=int, default=None,
+                   help="process tiles in sequential groups of this size "
+                        "(must divide the tile count): bounds peak HBM; "
+                        "adaptation becomes group-sequential with weight "
+                        "carry — the single-chip 2048² adaptive mode "
+                        "(RESULTS.md round 5)")
     r.set_defaults(fn=_cmd_reconstruct)
 
     d = sub.add_parser("denoise", help="standalone denoiser test")

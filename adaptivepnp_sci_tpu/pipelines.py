@@ -363,6 +363,7 @@ def run_reconstruction(
     dm_fresh_opt: bool = False,
     tile: int | None = None,
     tile_overlap: int = 0,
+    tile_chunk: int | None = None,
 ) -> ReconstructionOutput:
     """Two-stage online-adaptive reconstruction over all measurements.
 
@@ -373,6 +374,9 @@ def run_reconstruction(
     ``tile_overlap``: halo-overlap in pixels (even) — tiles solve with real
     context across their borders and only cores are stitched, removing
     seam-band artifacts (measured ~0.8 dB at 1024², RESULTS.md round 5).
+    ``tile_chunk``: sequential tile groups of this size bound peak HBM
+    (group-sequential adaptation with weight carry — the single-chip
+    2048² adaptive mode, RESULTS.md round 5).
     The pmean-shared adapted weights/optimizer state carry across
     measurements as usual, and ``dm_update``/``dm_in_scan`` compose: the
     in-scan demosaicker gradients are pmean-shared over the tile axis and
@@ -459,6 +463,7 @@ def run_reconstruction(
                 dm_opt_state=dm_opt_state,
                 key=jax.random.PRNGKey(t),
                 overlap=tile_overlap,
+                tile_chunk=tile_chunk,
             )
         else:
             res = two_stage_admm(

@@ -712,9 +712,25 @@ def two_stage_admm_tiled(
     dm_opt_state: Any = None,
     key: Array | None = None,
     overlap: int = 0,
+    tile_chunk: int | None = None,
 ) -> ADMMResult:
     """Large-scene mode: reconstruct one oversized measurement as a vmap
     batch of ``tile x tile`` patches, then stitch.
+
+    ``tile_chunk``: process the tile batch in sequential groups of this
+    size (must divide the tile count; default = all tiles at once). The
+    concurrent-tile program's peak HBM scales with the group size — at
+    2048²x8 the 16-tile ADAPTIVE program needs ~46 GB of concurrent
+    backward activations (>1 chip), while 4 sequential 4-tile groups are
+    exactly four of the proven 1024² programs. Adaptation becomes
+    GROUP-SEQUENTIAL: gradients are pmean-shared within a group, and the
+    adapted weights/optimizer state carry into the next group (the spatial
+    analogue of the reference's cross-measurement ``reuse_model`` carry,
+    ``two_stage_ADMM_Online_FFD_Warm.py:270-275``) — later groups start
+    from better-adapted weights; the returned ``variables`` are the last
+    group's. With ``select_best``, iterate selection is per group (the
+    cross-tile pmean spans one group), so prefer ``overlap`` halos when
+    combining the two.
 
     The SCI x-update is pixel-separable, so tiling is exact for the data
     term; only the denoiser/demosaicker see tile borders (the reference
@@ -834,26 +850,56 @@ def two_stage_admm_tiled(
         if x0_t is not None:
             x0_t = jax.device_put(x0_t, tile_sharding)
 
-    def one(y_i, phi_i, orig_i, key_i, x0_i):
-        if x0_i is None:
-            x0 = physics.adjoint(bayer.pack(y_i), bayer.pack(phi_i))
-        else:
-            x0 = bayer.pack(x0_i)
-        return runner(y_i, phi_i, x0, orig_i, variables, opt_state, key_i,
-                      dm_variables, dm_opt_state)
+    n_tiles = int(y_t.shape[0])
+    chunk = n_tiles if tile_chunk is None else int(tile_chunk)
+    if not 1 <= chunk <= n_tiles or n_tiles % chunk:
+        raise ValueError(
+            f"tile_chunk {tile_chunk} must divide the tile count {n_tiles}"
+        )
 
-    # None arguments are empty pytrees: vmap maps over no leaves for them,
-    # so one vmap covers every orig/x0 presence combination
-    (theta, xhat, trace, out_vars, out_opt, out_dm, out_dm_opt) = jax.vmap(
-        one, axis_name=grad_axis
-    )(y_t, phi_t, orig_t, keys, x0_t)
+    def run_chunk(y_c, phi_c, orig_c, keys_c, x0_c, vars_c, opt_c, dm_c,
+                  dm_opt_c):
+        def one(y_i, phi_i, orig_i, key_i, x0_i):
+            if x0_i is None:
+                x0 = physics.adjoint(bayer.pack(y_i), bayer.pack(phi_i))
+            else:
+                x0 = bayer.pack(x0_i)
+            return runner(y_i, phi_i, x0, orig_i, vars_c, opt_c, key_i,
+                          dm_c, dm_opt_c)
+
+        # None arguments are empty pytrees: vmap maps over no leaves for
+        # them, so one vmap covers every orig/x0 presence combination
+        return jax.vmap(one, axis_name=grad_axis)(y_c, phi_c, orig_c,
+                                                  keys_c, x0_c)
+
     # every tile carries identical weights — pmean-synced when adapting,
     # vmap-broadcast copies of the inputs otherwise — so ALWAYS return the
     # single shared copy (a tile-stacked pytree carried to the next
     # measurement by run_reconstruction would crash the denoiser apply)
     first = lambda t: jax.tree_util.tree_map(lambda x: x[0], t)  # noqa: E731
-    out_vars, out_opt = first(out_vars), first(out_opt)
-    out_dm, out_dm_opt = first(out_dm), first(out_dm_opt)
+    out_vars, out_opt = variables, opt_state
+    out_dm, out_dm_opt = dm_variables, dm_opt_state
+    thetas, xhats, traces = [], [], []
+    for c0 in range(0, n_tiles, chunk):
+        sl = slice(c0, c0 + chunk)
+        (theta_c, xhat_c, trace_c, out_vars, out_opt, out_dm,
+         out_dm_opt) = run_chunk(
+            y_t[sl], phi_t[sl],
+            None if orig_t is None else orig_t[sl], keys[sl],
+            None if x0_t is None else x0_t[sl],
+            out_vars, out_opt, out_dm, out_dm_opt,
+        )
+        out_vars, out_opt = first(out_vars), first(out_opt)
+        out_dm, out_dm_opt = first(out_dm), first(out_dm_opt)
+        thetas.append(theta_c)
+        xhats.append(xhat_c)
+        traces.append(trace_c)
+    if chunk == n_tiles:
+        theta, xhat, trace = thetas[0], xhats[0], traces[0]
+    else:
+        theta = jnp.concatenate(thetas)
+        xhat = jnp.concatenate(xhats)
+        trace = jnp.concatenate(traces)
 
     x_bayer_t = jax.vmap(bayer.unpack)(theta)  # (N, B, win, win)
     if overlap:

@@ -2,18 +2,28 @@
 
 Round 4 measured the fixed-weight 2048^2 tiled solve at 8.0 s (RESULTS row
 6b) and declared the ADAPTIVE config HBM-infeasible: 16 concurrent 512^2
-tile backwards need ~46 GB of stored activations. The in-repo counter-lever
-is ``AdaptConfig.crop`` (adaptation loss on a Bayer-aligned random crop —
-an unbiased estimator of the full-frame measurement loss through the
-pixel-separable forward model): at crop=c the per-tile backward stores
-``(c/512)^2`` of the full activations, e.g. crop=128 -> 1/16th -> ~2.9 GB
-total, which fits one chip.
+tile backwards need ~46 GB of stored activations. Two counter-levers:
+
+* ``AdaptConfig.crop`` (adaptation loss on a Bayer-aligned random crop —
+  an unbiased estimator of the full-frame measurement loss through the
+  pixel-separable forward model): at crop=c the per-tile backward stores
+  ``(c/512)^2`` of the full activations. Measured alone: crop=256 still
+  RESOURCE_EXHAUSTEDs (16 x ~1 GB of concurrent backwards + solver state)
+  and crop<=128 crashes the XLA compile helper outright (reproducibly) —
+  the 16-tile program is beyond this chip either way.
+* ``tile_chunk`` (sequential tile groups with adapted-weight carry): 4
+  groups of 4 tiles are exactly four of the PROVEN 1024^2 adaptive
+  programs (RESULTS row 6) run back to back — full-frame adaptation loss,
+  no crop needed; group-sequential adaptation semantics (weights flow
+  group -> group, the spatial analogue of the reference's reuse_model
+  measurement carry).
 
 Budget: the north star is 10 s/snapshot at 512^2; 16x the pixels gives a
 160 s equivalence bound (near-linear scaling would be ~2.2 s x 16-tile
 batch ~= the fixed row's 8 s plus adaptation).
 
-Usage: python scripts/bench_2048_adaptive.py [crop ...]
+Usage: python scripts/bench_2048_adaptive.py [chunk:crop ...]
+       (crop empty = full-frame adaptation loss, e.g. "4:" "4:256" "16:128")
 """
 
 from __future__ import annotations
@@ -33,7 +43,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def main(crops: tuple[int, ...] = (128, 256)) -> None:
+def main(combos: tuple[str, ...] = ("4:", "4:256")) -> None:
     from adaptivepnp_sci_tpu.adapt.online import AdaptConfig
     from adaptivepnp_sci_tpu.data.synthetic import make_scene
     from adaptivepnp_sci_tpu.models.convert import load_ffdnet
@@ -58,20 +68,23 @@ def main(crops: tuple[int, ...] = (128, 256)) -> None:
 
     print(f"{h}x{h}x{b}, 512^2 tiles, flagship adaptive config "
           "(lr 2e-6, 2 steps every 15), one chip")
-    print("| adapt crop | s/solve (steady) | PSNR | SSIM |")
-    print("|---|---|---|---|")
-    for crop in crops:
+    print("| tile_chunk | adapt crop | s/solve (steady) | PSNR | SSIM |")
+    print("|---|---|---|---|---|")
+    for combo in combos:
+        cs, _, ks = combo.partition(":")
+        chunk = int(cs) if cs else None
+        crop = int(ks) if ks else None
         config = ADMMConfig(
             sigma=(25 / 255, 12 / 255, 6 / 255), iters=(15, 6, 4),
             denoiser="ffdnet",
             adapt=AdaptConfig(lr=2e-6, update_per_iter=2, interval_iter=15,
-                              initial_iter=1, crop=crop or None),
+                              initial_iter=1, crop=crop),
         )
 
         def solve():
             r = two_stage_admm_tiled(
                 y, phi, config, tile=512, prior=prior, variables=variables,
-                orig_bayer=orig, x0_bayer=x0,
+                orig_bayer=orig, x0_bayer=x0, tile_chunk=chunk,
             )
             _ = float(jnp.sum(r.x_bayer))  # force completion over the tunnel
             return r
@@ -81,13 +94,14 @@ def main(crops: tuple[int, ...] = (128, 256)) -> None:
             t0 = time.perf_counter()
             r = solve()
             dt = time.perf_counter() - t0
-            print(f"| {crop or 'full'} | {dt:.2f} | "
+            print(f"| {chunk or 16} | {crop or 'full'} | {dt:.2f} | "
                   f"{float(r.psnr_per_frame.mean()):.2f} | "
                   f"{float(r.ssim_per_frame.mean()):.4f} |", flush=True)
         except Exception as e:  # noqa: BLE001 — record OOM as a result
             msg = str(e).splitlines()[0][:120]
-            print(f"| {crop or 'full'} | FAILED: {msg} | | |", flush=True)
+            print(f"| {chunk or 16} | {crop or 'full'} | FAILED: {msg} | | |",
+                  flush=True)
 
 
 if __name__ == "__main__":
-    main(tuple(int(a) for a in sys.argv[1:]) or (128, 256))
+    main(tuple(sys.argv[1:]) or ("4:", "4:256"))
