@@ -87,8 +87,14 @@ def main(out_path: str = "RESULTS.md") -> None:
     rows.append(("2. two-stage ADMM + FFDNet (fixed)", t,
                  float(r.psnr_per_frame.mean()), float(r.ssim_per_frame.mean())))
 
-    # 3. FastDVDnet (regenerated weights if present)
-    fdvd_path = "weights/fastdvd.npz"
+    # 3. FastDVDnet. The benchmark scene is the SMOOTH synthetic family, so
+    # use the smooth-procedural weight variant (weights/fastdvd_smooth.npz;
+    # the shipped default weights/fastdvd.npz is the iterate-distilled
+    # natural-statistics variant, which `--ckpt auto` would not pick here —
+    # per-scene weight selection, RESULTS.md round 5).
+    fdvd_path = "weights/fastdvd_smooth.npz"
+    if not os.path.exists(fdvd_path):
+        fdvd_path = "weights/fastdvd.npz"
     if os.path.exists(fdvd_path):
         from adaptivepnp_sci_tpu.models.fastdvdnet import FastDVDnet
         from adaptivepnp_sci_tpu.solvers.priors import fastdvd_prior
@@ -117,7 +123,7 @@ def main(out_path: str = "RESULTS.md") -> None:
         # the 6-sample methodology of the cost decomposition
         t, _ = timed(f3, n=6)
         r = reconstruct_single_dispatch(y, phi, wcfg, cfg3, fprior, fvars, orig=orig)
-        rows.append(("3. two-stage ADMM + FastDVDnet (regenerated wts, bf16)", t,
+        rows.append(("3. two-stage ADMM + FastDVDnet (smooth-variant wts, bf16)", t,
                      float(r.psnr_per_frame.mean()),
                      float(r.ssim_per_frame.mean())))
 
